@@ -1,0 +1,149 @@
+"""Configuration tree for all model variants.
+
+The reference scatters hyperparameters across constructor defaults
+(`SCT-GAN/model.py:24-36`, `SCT-GAN/train.py:481-494`, `SCT-GAN/dataset.py:102-109`)
+and notebook constants. Here every variant is a frozen dataclass serialized with
+checkpoints.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+VULNERABILITY_TYPES = [
+    "ARTHM", "DOS", "LE", "RENT", "TimeM", "TimeO", "Tx-Origin", "UE",
+]
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters (reference: SCT-GAN/model.py:24-36)."""
+
+    d_model: int = 768
+    nhead: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 2048
+    dropout: float = 0.3
+    max_length: int = 1024
+    max_lines: int = 1024          # static line-slot count (ref pads to 1024)
+    vocab_size: int = 50265
+    num_vulnerability_types: int = 8
+    use_gan: bool = False
+    # TPU-native knobs (no reference equivalent)
+    compute_dtype: str = "bfloat16"   # matmul/activation dtype; params stay fp32
+    use_flash_attention: bool = True  # Pallas kernel on TPU; jnp reference elsewhere
+    remat: bool = False               # jax.checkpoint encoder/decoder blocks
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline config (reference: SCT-GAN/dataset.py:102-109, 275-332)."""
+
+    data_path: str = ""
+    tokenizer_name: str = "microsoft/codebert-base"
+    max_length: int = 1024
+    batch_size: int = 8
+    vulnerability_types: tuple = tuple(VULNERABILITY_TYPES)
+    split_seed: int = 42
+    train_frac: float = 0.8
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Trainer config (reference: SCT-GAN/train.py:481-494, 530-540)."""
+
+    learning_rate: float = 1e-6
+    weight_decay: float = 0.1
+    max_grad_norm: float = 1.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.98
+    adam_eps: float = 1e-9
+    # LR multipliers per parameter group (train.py:530-538)
+    contract_head_lr_mult: float = 2.0
+    line_head_lr_mult: float = 3.0
+    discriminator_lr_mult: float = 0.5
+    # ReduceLROnPlateau (train.py:543-550)
+    plateau_factor: float = 0.3
+    plateau_patience: int = 5
+    plateau_min_lr: float = 1e-6
+    # Early stopping (train.py:582)
+    patience: int = 24
+    # Warm-up epochs for the line-vuln weight (train.py:671)
+    warmup_epochs: int = 5
+    use_augmentation: bool = False
+    use_gan: bool = False
+    num_epochs: int = 400
+    checkpoint_dir: str = "checkpoints"
+    seed: int = 0
+    # Parallelism: number of data-parallel shards (1 = single chip)
+    dp_shards: int = 1
+
+
+@dataclass(frozen=True)
+class VariantConfig:
+    """A fully-assembled variant = model + data + train configs."""
+
+    name: str = "sct-gan"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "VariantConfig":
+        return cls(
+            name=d.get("name", "sct-gan"),
+            model=ModelConfig(**d.get("model", {})),
+            data=DataConfig(**{k: (tuple(v) if k == "vulnerability_types" else v)
+                               for k, v in d.get("data", {}).items()}),
+            train=TrainConfig(**d.get("train", {})),
+        )
+
+
+def sct_gan_config(**overrides) -> VariantConfig:
+    """Canonical SCT-GAN variant: GAN + augmentation (SCT-GAN/model.py:23)."""
+    model = ModelConfig(use_gan=True, **overrides.pop("model", {}))
+    train = TrainConfig(use_gan=True, use_augmentation=True,
+                        **overrides.pop("train", {}))
+    return VariantConfig(name="sct-gan", model=model, train=train, **overrides)
+
+
+def model_v3_config(**overrides) -> VariantConfig:
+    """Model-v3 variant: same architecture, no GAN/aug (Model-v3/model.py)."""
+    model = ModelConfig(use_gan=False, **overrides.pop("model", {}))
+    train = TrainConfig(use_gan=False, use_augmentation=False,
+                        **overrides.pop("train", {}))
+    return VariantConfig(name="model-v3", model=model, train=train, **overrides)
+
+
+@dataclass(frozen=True)
+class TASCConfig:
+    """Legacy TASC GAN variants (Binary-TASC-model/model.py:261,
+    MultiClass-TASC-model/model_code_loc.py:385)."""
+
+    d_model: int = 768
+    nhead: int = 8
+    num_layers: int = 6
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+    vocab_size: int = 50265
+    decoder_vocab_size: int = 50000
+    max_gen_length: int = 512
+    multiclass: bool = False
+    num_vulnerability_types: int = 4   # multiclass heads
+    learning_rate: float = 2e-4        # Adam lr, beta1=0.5 (TASC trainers)
+    adam_b1: float = 0.5
+    compute_dtype: str = "bfloat16"
+
+
+def binary_tasc_config(**overrides) -> TASCConfig:
+    return TASCConfig(multiclass=False, **overrides)
+
+
+def multiclass_tasc_config(**overrides) -> TASCConfig:
+    return TASCConfig(multiclass=True, num_vulnerability_types=4, **overrides)

@@ -1,0 +1,30 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding is validated on a host-platform mesh (the driver's
+``dryrun_multichip`` does the same); the real TPU chip is reserved for
+bench.py. These env vars must be set before jax is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+existing = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in existing:
+    os.environ["XLA_FLAGS"] = (
+        existing + " --xla_force_host_platform_device_count=8").strip()
+# Hermetic tests: never hit the network for tokenizers.
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tokenizer():
+    from sct_gan_tpu.data.tokenizer import SolidityTokenizer
+    return SolidityTokenizer()
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus():
+    from sct_gan_tpu.data.synthetic import generate_corpus
+    return generate_corpus(n=8, seed=0)
