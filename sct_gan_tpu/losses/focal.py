@@ -1,0 +1,121 @@
+"""Focal-loss family, vectorized for single-graph jit compilation.
+
+Behavioral parity with the reference loss zoo (SCT-GAN/train.py:99-478):
+
+  * ``focal_loss`` — FocalLoss (train.py:99-115).
+  * ``spatial_aware_focal_loss`` — SpatialAwareFocalLoss (train.py:117-245):
+    focal + positive-prob encouragement + negative-prob discouragement +
+    spatial neighborhood penalty. The reference's per-token Python double loop
+    over the ±2-line neighborhood (train.py:221-242) becomes one (S×S)
+    neighborhood-mask contraction on the MXU.
+  * ``contract_level_focal_loss`` — ContractLevelFocalLoss (train.py:433-478)
+    with the 2× false-negative penalty.
+
+α/γ/spatial_weight are runtime scalars (the trainer mutates them between
+batches, train.py:1172-1182, 1561-1568) so no recompilation ever happens.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def binary_cross_entropy_with_logits(logits: jnp.ndarray,
+                                     targets: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise BCE-with-logits (torch semantics, numerically stable)."""
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+
+
+def focal_loss(pred: jnp.ndarray, target: jnp.ndarray,
+               alpha: float = 0.25, gamma: float = 2.0,
+               reduction: str = "mean") -> jnp.ndarray:
+    """FocalLoss (train.py:106-115): α·(1-pt)^γ·BCE, pt = exp(-BCE)."""
+    bce = binary_cross_entropy_with_logits(pred, target)
+    pt = jnp.exp(-bce)
+    fl = alpha * (1.0 - pt) ** gamma * bce
+    if reduction == "mean":
+        return fl.mean()
+    if reduction == "sum":
+        return fl.sum()
+    return fl
+
+
+def _spatial_penalty(pred: jnp.ndarray, target: jnp.ndarray,
+                     token_to_line: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized ±2-line neighborhood penalty (train.py:174-245).
+
+    Args are batch-shaped: pred/target (B, S, C), token_to_line (B, S).
+    For each token i: if any nearby token (|line_i - line_j| <= 2, j != i)
+    carries a vulnerability label, penalty[i] = 0.1 · mean over nearby tokens
+    of sigmoid(pred[j]).
+    """
+    b, s, c = pred.shape
+    ttl = token_to_line.astype(jnp.int32)
+    near = jnp.abs(ttl[:, :, None] - ttl[:, None, :]) <= 2        # (B, S, S)
+    eye = jnp.eye(s, dtype=bool)[None]
+    near = near & ~eye
+    near_f = near.astype(pred.dtype)
+
+    counts = near_f.sum(axis=-1)                                   # (B, S)
+    nearby_target_sum = jnp.einsum("bij,bjc->bic", near_f, target)
+    has_vuln = nearby_target_sum.sum(axis=-1) > 0                  # (B, S)
+    mean_sig = (jnp.einsum("bij,bjc->bic", near_f, jax.nn.sigmoid(pred))
+                / jnp.maximum(counts, 1.0)[..., None])
+    penalty = jnp.where((has_vuln & (counts > 0))[..., None],
+                        mean_sig * 0.1, 0.0)
+    return penalty
+
+
+def spatial_aware_focal_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    token_to_line: Optional[jnp.ndarray] = None,
+    alpha=0.25,
+    gamma=2.0,
+    spatial_weight=0.2,
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """SpatialAwareFocalLoss (train.py:129-172).
+
+    ``pred``/``target`` are (B, S, C) (the reference flattens to (B·S, C) and
+    re-infers the batch — here batch shape is kept explicit).
+    """
+    probs = jax.nn.sigmoid(pred)
+    bce = binary_cross_entropy_with_logits(pred, target)
+    pt = jnp.exp(-bce)
+    fl = alpha * (1.0 - pt) ** gamma * bce
+
+    vulnerable = target == 1.0
+    fl = fl + jnp.where(vulnerable, jax.nn.relu(0.3 - probs) * 0.5, 0.0)
+    non_vulnerable = target == 0.0
+    fl = fl + jnp.where(non_vulnerable, jax.nn.relu(probs - 0.5) * 0.2, 0.0)
+
+    if token_to_line is not None:
+        fl = fl + spatial_weight * _spatial_penalty(pred, target,
+                                                    token_to_line)
+    if reduction == "mean":
+        return fl.mean()
+    if reduction == "sum":
+        return fl.sum()
+    return fl
+
+
+def contract_level_focal_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                              alpha=0.05, gamma=4.0,
+                              reduction: str = "mean") -> jnp.ndarray:
+    """ContractLevelFocalLoss (train.py:444-478): per-type focal with a 2×
+    multiplier on missed vulnerabilities (target == 1 and prob < 0.5)."""
+    probs = jax.nn.sigmoid(pred)
+    bce = binary_cross_entropy_with_logits(pred, target)
+    pt = jnp.exp(-bce)
+    fl = alpha * (1.0 - pt) ** gamma * bce
+    fn_penalty = jnp.where((target == 1.0) & (probs < 0.5), 2.0, 1.0)
+    fl = fl * fn_penalty
+    if reduction == "mean":
+        return fl.mean()
+    if reduction == "sum":
+        return fl.sum()
+    return fl

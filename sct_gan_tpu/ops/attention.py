@@ -1,0 +1,124 @@
+"""Attention ops: pure-JAX reference path + Pallas flash-attention dispatch.
+
+The reference relies on PyTorch's fused ``nn.MultiheadAttention`` CUDA kernels
+(SCT-GAN/model.py:56-77, 98-103, 158-171, 209-222, 241-246). Here the math is
+owned explicitly:
+
+  * ``mha_reference`` — pure jnp scaled-dot-product attention with PyTorch-MHA
+    semantics (key-padding masks, optional causal mask, attention-weight
+    dropout, head-averaged weights). Used for numerics tests and whenever
+    attention weights must be materialized (the localization API exposes
+    ``contract_attn_weights``, model.py:455-460).
+  * ``dot_product_attention`` — dispatcher: Pallas flash-attention kernel on
+    TPU (memory-tiled, never materializes (B,H,S,S) in HBM), reference path
+    elsewhere or when weights are requested.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30  # finite -inf stand-in: keeps fully-masked rows NaN-free
+
+
+def _build_bias(
+    scores_shape: Tuple[int, ...],
+    key_padding_mask: Optional[jnp.ndarray],
+    causal: bool,
+) -> Optional[jnp.ndarray]:
+    """Additive attention bias from a key-padding mask and/or causal flag.
+
+    ``key_padding_mask``: (B, Sk) bool, True = attendable (note: inverted
+    relative to PyTorch's key_padding_mask, which marks *ignored* keys).
+    """
+    b, h, sq, sk = scores_shape
+    bias = None
+    if key_padding_mask is not None:
+        bias = jnp.where(key_padding_mask[:, None, None, :], 0.0, _NEG_INF)
+    if causal:
+        causal_bias = jnp.where(
+            jnp.tril(jnp.ones((sq, sk), dtype=bool)), 0.0, _NEG_INF)
+        bias = causal_bias if bias is None else bias + causal_bias
+    return bias
+
+
+def mha_reference(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    return_weights: bool = False,
+):
+    """Scaled-dot-product attention over already-split heads.
+
+    Args:
+        q, k, v: (B, H, Sq|Sk, Dh).
+        key_padding_mask: (B, Sk) bool, True = attendable.
+        causal: apply a lower-triangular mask (decoder self-attention).
+        dropout_rate/deterministic/dropout_rng: attention-weight dropout, as
+            PyTorch MHA applies it (after softmax).
+        return_weights: also return head-averaged weights (B, Sq, Sk), the
+            PyTorch ``average_attn_weights=True`` convention.
+    Returns:
+        out (B, H, Sq, Dh) [, weights (B, Sq, Sk)].
+    """
+    dh = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.asarray(dh, dtype=scores.dtype))
+    bias = _build_bias(scores.shape, key_padding_mask, causal)
+    if bias is not None:
+        scores = scores + bias
+    weights = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    weights.shape)
+        weights_dropped = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+    else:
+        weights_dropped = weights
+    out = jnp.einsum("bhqk,bhkd->bhqd", weights_dropped.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    if return_weights:
+        return out, weights.mean(axis=1)
+    return out
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+    return_weights: bool = False,
+    use_flash: bool = True,
+):
+    """Dispatch to the Pallas flash kernel when possible, else the reference.
+
+    Flash is used when: on TPU, no attention-weight dropout is active, and the
+    caller does not need materialized weights. Attention-weight dropout makes
+    blockwise softmax non-streamable (the reference applies dropout *on the
+    weights*), so training-with-dropout uses the XLA-fused reference path —
+    still fully on-device and fused by XLA.
+    """
+    wants_dropout = dropout_rate > 0.0 and not deterministic
+    on_tpu = jax.default_backend() == "tpu"
+    if use_flash and on_tpu and not wants_dropout and not return_weights:
+        from .flash_attention import flash_attention
+        return flash_attention(q, k, v, key_padding_mask=key_padding_mask,
+                               causal=causal)
+    return mha_reference(
+        q, k, v, key_padding_mask=key_padding_mask, causal=causal,
+        dropout_rate=dropout_rate, deterministic=deterministic,
+        dropout_rng=dropout_rng, return_weights=return_weights)

@@ -1,0 +1,79 @@
+"""Sampling ops: temperature / top-k / top-p filtering and categorical draws.
+
+Replaces the reference's host-side torch sampling inside the generation loop
+(SCT-GAN/model.py:899-918: topk → scatter -inf; sort → cumsum softmax → shift
+→ mask; multinomial) with jit-friendly jnp equivalents that live inside
+``lax.while_loop`` decode bodies, with explicit PRNG keys threaded through
+decode state.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def top_k_filter(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep the top-k logits per row, set the rest to -inf.
+
+    Parity with model.py:900-904 (torch.topk + scatter of -inf mask).
+    """
+    if k <= 0 or k >= logits.shape[-1]:
+        return logits
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits >= kth, logits, _NEG_INF)
+
+
+def top_p_filter(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Nucleus filtering: remove tokens beyond cumulative prob p.
+
+    Parity with model.py:907-914: sort descending, cumsum of softmax, mark
+    cumulative > p, shift the removal mask right by one (the first token is
+    always kept), scatter back to vocab order, mask with -inf.
+    """
+    if p >= 1.0:
+        return logits
+    sorted_idx = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+    cum_probs = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove_sorted = cum_probs > p
+    remove_sorted = jnp.concatenate(
+        [jnp.zeros_like(remove_sorted[..., :1]), remove_sorted[..., :-1]],
+        axis=-1)
+    # Scatter back: invert the sorting permutation.
+    inv_idx = jnp.argsort(sorted_idx, axis=-1)
+    remove = jnp.take_along_axis(remove_sorted, inv_idx, axis=-1)
+    return jnp.where(remove, _NEG_INF, logits)
+
+
+def top_k_top_p_filter(logits: jnp.ndarray, top_k: int = 50,
+                       top_p: float = 0.95) -> jnp.ndarray:
+    """Composed filter in the reference's order: top-k first, then top-p."""
+    return top_p_filter(top_k_filter(logits, top_k), top_p)
+
+
+def sample_categorical(rng: jax.Array, logits: jnp.ndarray,
+                       temperature: float = 1.0,
+                       top_k: int = 0, top_p: float = 1.0) -> jnp.ndarray:
+    """Temperature-scaled filtered categorical sample (one token per row).
+
+    Mirrors the reference decode step (model.py:893-918): logits / T →
+    syntax/filter masks → softmax → multinomial.
+    """
+    if temperature != 1.0:
+        logits = logits / temperature
+    logits = top_k_top_p_filter(logits, top_k, top_p)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+def penalize_repetition(logits: jnp.ndarray, prev_token: jnp.ndarray,
+                        penalty: float = 1.5) -> jnp.ndarray:
+    """Divide the previous token's logit by ``penalty`` (repetition-aware
+    sampler used by the reference diagnostics, inference.py:1112-1211)."""
+    vocab = logits.shape[-1]
+    onehot = jax.nn.one_hot(prev_token, vocab, dtype=bool)
+    return jnp.where(onehot, jnp.where(logits > 0, logits / penalty,
+                                       logits * penalty), logits)

@@ -6,7 +6,6 @@ bench.py. These env vars must be set before jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 existing = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in existing:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +13,13 @@ if "xla_force_host_platform_device_count" not in existing:
 # Hermetic tests: never hit the network for tokenizers.
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+# The environment's axon sitecustomize force-registers the TPU plugin and
+# overrides JAX_PLATFORMS via jax.config, so pin the platform through the
+# config API (backends are not initialized yet at conftest import time).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,132 @@
+"""Kernel/op parity tests: attention, segment-mean, sampling filters."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sct_gan_tpu.ops.attention import mha_reference
+from sct_gan_tpu.ops.segment_mean import line_segment_mean
+from sct_gan_tpu.ops.sampling import (
+    top_k_filter,
+    top_p_filter,
+    sample_categorical,
+)
+
+
+def _np_attention(q, k, v, key_padding_mask=None, causal=False):
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    scores = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+    if key_padding_mask is not None:
+        scores = np.where(key_padding_mask[:, None, None, :], scores, -1e30)
+    if causal:
+        tri = np.tril(np.ones((sq, sk), dtype=bool))
+        scores = np.where(tri, scores, -1e30)
+    scores = scores - scores.max(-1, keepdims=True)
+    w = np.exp(scores)
+    w = w / w.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", w, v), w.mean(1)
+
+
+def test_mha_reference_matches_numpy():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(2, 4, 8, 16)).astype(np.float32)
+    k = rng.normal(size=(2, 4, 10, 16)).astype(np.float32)
+    v = rng.normal(size=(2, 4, 10, 16)).astype(np.float32)
+    mask = rng.random((2, 10)) < 0.7
+    mask[:, 0] = True
+    out, w = mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                           key_padding_mask=jnp.asarray(mask),
+                           return_weights=True)
+    exp_out, exp_w = _np_attention(q, k, v, mask)
+    np.testing.assert_allclose(out, exp_out, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(w, exp_w, rtol=2e-4, atol=2e-5)
+
+
+def test_mha_reference_causal():
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(1, 2, 6, 8)).astype(np.float32)
+    out = mha_reference(jnp.asarray(q), jnp.asarray(q), jnp.asarray(q),
+                        causal=True)
+    exp, _ = _np_attention(q, q, q, causal=True)
+    np.testing.assert_allclose(out, exp, rtol=2e-4, atol=2e-5)
+    # First query position attends only to itself
+    np.testing.assert_allclose(out[0, :, 0], q[0, :, 0], rtol=1e-5)
+
+
+def test_flash_attention_matches_reference_interpret():
+    """Pallas kernel in interpreter mode (CPU) vs the jnp reference."""
+    from jax.experimental.pallas import tpu as pltpu
+    from sct_gan_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=(2, 2, 256, 64)).astype(np.float32)
+    k = rng.normal(size=(2, 2, 256, 64)).astype(np.float32)
+    v = rng.normal(size=(2, 2, 256, 64)).astype(np.float32)
+    mask = rng.random((2, 256)) < 0.8
+    mask[:, 0] = True
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              key_padding_mask=jnp.asarray(mask))
+        out_c = flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), causal=True)
+    exp = mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        key_padding_mask=jnp.asarray(mask))
+    exp_c = mha_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          causal=True)
+    np.testing.assert_allclose(out, exp, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(out_c, exp_c, rtol=2e-4, atol=2e-4)
+
+
+def test_segment_mean_matches_loop():
+    rng = np.random.default_rng(3)
+    b, s, d, L = 2, 32, 8, 16
+    memory = rng.normal(size=(b, s, d)).astype(np.float32)
+    ttl = rng.integers(0, 12, size=(b, s)).astype(np.int32)
+    means, counts = line_segment_mean(jnp.asarray(memory), jnp.asarray(ttl), L)
+    for bi in range(b):
+        for l in range(L):
+            mask = ttl[bi] == l
+            assert counts[bi, l] == mask.sum()
+            if mask.any():
+                np.testing.assert_allclose(means[bi, l],
+                                           memory[bi, mask].mean(0),
+                                           rtol=1e-4, atol=1e-5)
+            else:
+                np.testing.assert_allclose(means[bi, l], 0.0, atol=1e-6)
+
+
+def test_top_k_filter():
+    logits = jnp.asarray([[1.0, 5.0, 3.0, 2.0, 4.0]])
+    out = np.asarray(top_k_filter(logits, 2))
+    assert out[0, 1] == 5.0 and out[0, 4] == 4.0
+    assert (out[0, [0, 2, 3]] < -1e29).all()
+
+
+def test_top_p_filter_keeps_first():
+    # One dominant logit: top-p must always keep the argmax.
+    logits = jnp.asarray([[10.0, 0.0, 0.0, 0.0]])
+    out = np.asarray(top_p_filter(logits, 0.5))
+    assert out[0, 0] == 10.0
+    assert (out[0, 1:] < -1e29).all()
+
+
+def test_top_p_filter_mass():
+    rng = np.random.default_rng(4)
+    logits = jnp.asarray(rng.normal(size=(3, 20)).astype(np.float32))
+    out = np.asarray(top_p_filter(logits, 0.9))
+    probs = jax.nn.softmax(jnp.asarray(logits), -1)
+    for i in range(3):
+        kept = out[i] > -1e29
+        kept_probs = np.sort(np.asarray(probs[i])[kept])[::-1]
+        # Mass of kept tokens minus the smallest kept token must be < p
+        # (the reference keeps the first token crossing the threshold).
+        assert kept_probs.sum() - kept_probs[-1] < 0.9 + 1e-6
+        assert kept.sum() >= 1
+
+
+def test_sample_categorical_respects_filter():
+    rng = jax.random.PRNGKey(0)
+    logits = jnp.asarray(np.tile([[10.0, -10.0, 9.5, -10.0]], (64, 1)))
+    toks = sample_categorical(rng, logits, temperature=0.7, top_k=2, top_p=0.95)
+    assert set(np.asarray(toks).tolist()) <= {0, 2}
