@@ -1,0 +1,86 @@
+"""Orbax checkpointing with the reference's metadata contract.
+
+The reference saves torch dict checkpoints carrying epoch, model/optimizer/
+scheduler state, val loss, full training history, and the aug/GAN flags —
+``best_model{_augmented}{_gan}_epoch_N.pt`` on improvement and
+``latest_model{_augmented}{_gan}.pt`` every epoch (SCT-GAN/train.py:1656-1721).
+
+Here the array state (params + optimizer) goes through orbax (async-safe,
+TPU-friendly, resharding-aware on restore) and the python metadata
+(history, scheduler state, adaptive-control scalars) goes to a JSON sidecar
+in the same directory, so a checkpoint is fully self-describing.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def checkpoint_suffix(use_augmentation: bool, use_gan: bool) -> str:
+    suffix = ""
+    if use_augmentation:
+        suffix += "_augmented"
+    if use_gan:
+        suffix += "_gan"
+    return suffix
+
+
+def save_checkpoint(checkpoint_dir: str, name: str, state_tree: Any,
+                    metadata: Dict) -> str:
+    """Save arrays via orbax + metadata JSON. Returns the checkpoint path."""
+    path = os.path.abspath(os.path.join(checkpoint_dir, name))
+    ckptr = _checkpointer()
+    ckptr.save(path, jax.device_get(state_tree), force=True)
+    with open(path + ".meta.json", "w") as f:
+        json.dump(metadata, f, indent=2, default=float)
+    return path
+
+
+def load_checkpoint(path: str,
+                    target: Optional[Any] = None) -> Tuple[Any, Dict]:
+    """Restore (state_tree, metadata). ``target`` optionally provides the
+    pytree structure/shardings to restore into."""
+    path = os.path.abspath(path)
+    ckptr = _checkpointer()
+    if target is not None:
+        tree = ckptr.restore(path, item=jax.device_get(target))
+    else:
+        tree = ckptr.restore(path)
+    meta_path = path + ".meta.json"
+    metadata: Dict = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    return tree, metadata
+
+
+def find_checkpoint(checkpoint_dir: str, prefer: str = "best") -> Optional[str]:
+    """Locate the newest best (or latest) checkpoint in a directory, matching
+    the reference's naming scheme."""
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    entries = [e for e in os.listdir(checkpoint_dir)
+               if os.path.isdir(os.path.join(checkpoint_dir, e))]
+    if prefer == "best":
+        best = [e for e in entries if e.startswith("best_model")]
+        if best:
+            def epoch_of(name):
+                try:
+                    return int(name.rsplit("_", 1)[1])
+                except (ValueError, IndexError):
+                    return -1
+            return os.path.join(checkpoint_dir,
+                                max(best, key=epoch_of))
+    latest = [e for e in entries if e.startswith("latest_model")]
+    if latest:
+        return os.path.join(checkpoint_dir, sorted(latest)[-1])
+    return None
