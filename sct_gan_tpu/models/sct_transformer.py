@@ -186,6 +186,15 @@ class SmartContractTransformer(nn.Module):
         return self._embed(target_ids, self.embedding, self.embedding_norm,
                            self.embedding_dropout, deterministic)
 
+    def embed_target_token(self, token_ids, pos):
+        """Embed a single decode-step token at position ``pos``
+        (generation-path embedding pipeline, model.py:871-874)."""
+        d = self.config.d_model
+        x = self.embedding(token_ids) * math.sqrt(d)     # (B, 1, d)
+        x = self.embedding_norm(x)
+        pe = jax.lax.dynamic_slice_in_dim(self._pe, pos, 1, axis=0)
+        return (x + pe[None]).astype(self._dtype)
+
     # -- encoder side ----------------------------------------------------------
     def encode(self, input_ids, attention_mask=None, ast_input_ids=None,
                ast_attention_mask=None, deterministic: bool = True):
@@ -305,6 +314,51 @@ class SmartContractTransformer(nn.Module):
         x = x.mean(axis=1)
         x = self.disc_feature_extractor(x, deterministic)
         return self.disc_synthetic_head(x, deterministic).astype(jnp.float32)
+
+    # -- KV-cached autoregressive decode ------------------------------------
+    def init_decode_cache(self, batch_size: int):
+        """Per-layer self-attention KV caches sized to max_length."""
+        return self.decoder.init_cache(batch_size, self.config.max_length,
+                                       dtype=self._dtype)
+
+    def precompute_cross_kv(self, memory):
+        """Cross-attention K/V per decoder layer, computed once per encode —
+        removes the reference's per-step re-projection of the full memory
+        (model.py:880-885 re-runs the decoder over the whole prefix)."""
+        return self.decoder.precompute_cross_kv(memory)
+
+    def decode_step(self, token_ids, pos, caches, cross_kvs, src_mask):
+        """One decode step: (B, 1) token ids at ``pos`` → (B, vocab) logits.
+
+        Output pipeline parity with generation mode (model.py:886-890):
+        decoder → output_norm → output_layer (dropout inactive at inference).
+        """
+        x = self.embed_target_token(token_ids, pos)
+        x, caches = self.decoder.step(x, caches, cross_kvs, pos,
+                                      memory_key_padding_mask=src_mask)
+        x = self.output_norm(x)
+        logits = self.output_layer(x)[:, 0, :].astype(jnp.float32)
+        return logits, caches
+
+    def encode_concat(self, input_ids, attention_mask, ast_input_ids,
+                      ast_attention_mask):
+        """Beam-search encode path (model.py:1080-1103): concatenated
+        contract+AST embeddings (each stream truncated to max_length//2),
+        plain embed×√d + PE (no norm/dropout — the reference skips them
+        here), single encoder pass. Returns (memory, src_mask)."""
+        cfg = self.config
+        half = cfg.max_length // 2
+        c_emb = (self.embedding(input_ids[:, :half])
+                 * math.sqrt(cfg.d_model) + self._pe[None, :half])
+        a_emb = (self.ast_embedding(ast_input_ids[:, :half])
+                 * math.sqrt(cfg.d_model) + self._pe[None, :half])
+        src_emb = jnp.concatenate([c_emb, a_emb], axis=1).astype(self._dtype)
+        src_mask = jnp.concatenate(
+            [attention_mask[:, :half], ast_attention_mask[:, :half]],
+            axis=1).astype(bool)
+        memory = self.encoder(src_emb, key_padding_mask=src_mask,
+                              deterministic=True)
+        return memory, src_mask
 
     def decode_teacher_forced(self, target_ids, memory, src_mask,
                               deterministic: bool = True):
