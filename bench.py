@@ -1,0 +1,124 @@
+"""Benchmark: fused GAN train-step throughput on the real TPU chip.
+
+Prints ONE JSON line:
+    {"metric": "train_tokens_per_sec_per_chip", "value": N,
+     "unit": "tokens/s/chip", "vs_baseline": R}
+
+The reference publishes no throughput numbers (BASELINE.md), so the baseline
+here is measured in the same run on the same chip: a *naive-port* train step —
+fp32 compute with dense (non-flash) attention, i.e. what a line-for-line
+translation of the reference's PyTorch compute (dense SDPA, fp32 autograd)
+would lower to. ``vs_baseline`` is the speedup of the TPU-first design
+(bf16 MXU matmuls + Pallas flash attention + single fused jit program) over
+that naive port at identical model size (d=768, 6+6 layers, L=1024, batch 8 —
+SCT-GAN/model.py:24-36, dataset.py:279).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_trainer(compute_dtype: str, use_flash: bool, batch_size: int,
+                  seq: int):
+    import jax
+    from sct_gan_tpu.config import ModelConfig, TrainConfig
+    from sct_gan_tpu.data.tokenizer import SolidityTokenizer
+    from sct_gan_tpu.models.sct_transformer import SmartContractTransformer
+    from sct_gan_tpu.parallel.mesh import make_mesh
+    from sct_gan_tpu.train import SmartContractTrainer
+
+    cfg = ModelConfig(use_gan=True, max_length=seq, max_lines=seq,
+                      compute_dtype=compute_dtype,
+                      use_flash_attention=use_flash)
+    tok = SolidityTokenizer(vocab_size=cfg.vocab_size)
+    model = SmartContractTransformer(cfg)
+
+    class _Empty:
+        def __iter__(self):
+            return iter(())
+
+    mesh = make_mesh(dp=1, mp=1, devices=jax.devices()[:1])
+    trainer = SmartContractTrainer(
+        model, _Empty(), _Empty(), tok,
+        config=TrainConfig(learning_rate=1e-5, use_gan=True, warmup_epochs=1),
+        mesh=mesh, verbose=False)
+    return trainer
+
+
+def make_batch(batch_size: int, seq: int, vocab: int):
+    rng = np.random.default_rng(0)
+    lines = np.minimum(np.arange(seq, dtype=np.int32) // 6, seq - 1)
+    return {
+        "input_ids": rng.integers(0, vocab, (batch_size, seq)).astype(np.int32),
+        "attention_mask": np.ones((batch_size, seq), np.int32),
+        "ast_input_ids": rng.integers(0, vocab, (batch_size, seq)).astype(np.int32),
+        "ast_attention_mask": np.ones((batch_size, seq), np.int32),
+        "token_to_line": np.tile(lines, (batch_size, 1)),
+        "vulnerable_lines": (rng.random((batch_size, 8, seq)) < 0.01
+                             ).astype(np.int32),
+        "contract_vulnerabilities": rng.integers(
+            0, 2, (batch_size, 8)).astype(np.int32),
+    }
+
+
+def time_step(trainer, batch, warmup: int = 3, iters: int = 10) -> float:
+    import jax
+    from sct_gan_tpu.parallel.mesh import shard_batch
+
+    device_batch = shard_batch(batch, trainer.mesh)
+    scalars = trainer._scalars(1.0)
+    lrs = trainer._group_lrs()
+    rng = jax.random.PRNGKey(0)
+    state = trainer.state
+    for _ in range(warmup):
+        rng, sub = jax.random.split(rng)
+        state, metrics, scalars = trainer.train_step(state, device_batch,
+                                                     scalars, lrs, sub)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        rng, sub = jax.random.split(rng)
+        state, metrics, scalars = trainer.train_step(state, device_batch,
+                                                     scalars, lrs, sub)
+    jax.block_until_ready(metrics)
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    batch_size, seq = 8, 1024
+    tokens_per_step = batch_size * seq
+
+    log("building TPU-first trainer (bf16 + flash attention)...")
+    fused = build_trainer("bfloat16", True, batch_size, seq)
+    batch = make_batch(batch_size, seq, fused.model.config.vocab_size)
+    log("timing fused step...")
+    t_fused = time_step(fused, batch)
+    fused_tps = tokens_per_step / t_fused
+    log(f"fused: {t_fused * 1e3:.1f} ms/step = {fused_tps:,.0f} tok/s/chip")
+    del fused
+
+    log("building naive-port trainer (fp32, dense attention)...")
+    naive = build_trainer("float32", False, batch_size, seq)
+    log("timing naive step...")
+    t_naive = time_step(naive, batch, warmup=2, iters=5)
+    naive_tps = tokens_per_step / t_naive
+    log(f"naive: {t_naive * 1e3:.1f} ms/step = {naive_tps:,.0f} tok/s/chip")
+
+    print(json.dumps({
+        "metric": "train_tokens_per_sec_per_chip",
+        "value": round(fused_tps, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(fused_tps / naive_tps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -139,6 +139,11 @@ class TASCConfig:
     learning_rate: float = 2e-4        # Adam lr, beta1=0.5 (TASC trainers)
     adam_b1: float = 0.5
     compute_dtype: str = "bfloat16"
+    # frozen CodeBERT embedder (RoBERTa-base unless shrunk for tests)
+    codebert_num_layers: int = 12
+    codebert_nhead: int = 12
+    codebert_ffn: int = 3072
+    max_length: int = 512
 
 
 def binary_tasc_config(**overrides) -> TASCConfig:

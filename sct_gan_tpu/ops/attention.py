@@ -78,6 +78,11 @@ def mha_reference(
     if bias is not None:
         scores = scores + bias
     weights = jax.nn.softmax(scores, axis=-1)
+    if bias is not None:
+        # Fully-masked query rows produce zeros (not a uniform distribution):
+        # consistent with the flash kernel and NaN-free, unlike torch.
+        all_masked = jnp.max(scores, axis=-1, keepdims=True) <= -1e29
+        weights = jnp.where(all_masked, 0.0, weights)
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                     weights.shape)

@@ -45,7 +45,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, bq, bk, sk_padded,
         m, l, acc = carry
         k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
-        s = s + bias_ref[0, pl.ds(j * bk, bk)][None, :]
+        s = s + bias_ref[0, :, pl.ds(j * bk, bk)]   # (1, BK) broadcast
         if causal:
             rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
             cols = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
@@ -81,7 +81,7 @@ def _flash_forward(q, k, v, kp_bias, causal: bool, block_q: int, block_k: int):
     kpad = jnp.pad(k, ((0, 0), (0, 0), (0, skp - sk), (0, dp - dh)))
     vpad = jnp.pad(v, ((0, 0), (0, 0), (0, skp - sk), (0, dp - dh)))
     bias = jnp.pad(kp_bias.astype(jnp.float32), ((0, 0), (0, skp - sk)),
-                   constant_values=_NEG_INF)
+                   constant_values=_NEG_INF)[:, None, :]   # (B, 1, Skp)
 
     scale = 1.0 / (dh ** 0.5)
     grid = (b, h, sqp // block_q)
@@ -96,7 +96,9 @@ def _flash_forward(q, k, v, kp_bias, causal: bool, block_q: int, block_k: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, skp, dp), lambda b_, h_, i: (b_, h_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skp), lambda b_, h_, i: (b_, 0),
+            # (1, 1, Skp) block of the (B, 1, Skp) bias: last two dims
+            # equal the array dims, satisfying the TPU tiling minimum
+            pl.BlockSpec((1, 1, skp), lambda b_, h_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, dp),
