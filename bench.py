@@ -69,7 +69,11 @@ def make_batch(batch_size: int, seq: int, vocab: int):
     }
 
 
-def time_step(trainer, batch, warmup: int = 3, iters: int = 10) -> float:
+def time_step(trainer, batch, warmup: int = 2, iters: int = 6) -> float:
+    """Median per-step wall time with a hard device barrier every step —
+    `block_until_ready` on the FULL updated state, not just the scalar
+    metrics (on remote backends the scalars can materialize before the
+    parameter update drains the queue, underreporting wildly)."""
     import jax
     from sct_gan_tpu.parallel.mesh import shard_batch
 
@@ -78,18 +82,17 @@ def time_step(trainer, batch, warmup: int = 3, iters: int = 10) -> float:
     lrs = trainer._group_lrs()
     rng = jax.random.PRNGKey(0)
     state = trainer.state
-    for _ in range(warmup):
+    times = []
+    for i in range(warmup + iters):
         rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
         state, metrics, scalars = trainer.train_step(state, device_batch,
                                                      scalars, lrs, sub)
-    jax.block_until_ready(metrics)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        rng, sub = jax.random.split(rng)
-        state, metrics, scalars = trainer.train_step(state, device_batch,
-                                                     scalars, lrs, sub)
-    jax.block_until_ready(metrics)
-    return (time.perf_counter() - t0) / iters
+        jax.block_until_ready((state.params, metrics))
+        if i >= warmup:
+            times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def main() -> None:
@@ -108,7 +111,7 @@ def main() -> None:
     log("building naive-port trainer (fp32, dense attention)...")
     naive = build_trainer("float32", False, batch_size, seq)
     log("timing naive step...")
-    t_naive = time_step(naive, batch, warmup=2, iters=5)
+    t_naive = time_step(naive, batch, warmup=1, iters=3)
     naive_tps = tokens_per_step / t_naive
     log(f"naive: {t_naive * 1e3:.1f} ms/step = {naive_tps:,.0f} tok/s/chip")
 

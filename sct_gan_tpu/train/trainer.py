@@ -180,6 +180,34 @@ class SmartContractTrainer:
         self._dimension_smoke_test(max_len)
 
     # ------------------------------------------------------------------
+    def restore(self, checkpoint_path: str) -> int:
+        """Resume from an orbax checkpoint saved by `train` — params,
+        optimizer state, step counter, group LRs, plateau-scheduler state and
+        training history (the reference's resume flow incl. optimizer state,
+        Model-v3/trainning-phase.ipynb cells 11-12). Returns the epoch to
+        continue from."""
+        from .checkpoint import load_checkpoint
+        target = {"params": self.state.params,
+                  "opt_state": self.state.opt_state,
+                  "step": self.state.step}
+        tree, meta = load_checkpoint(checkpoint_path, target=target)
+        params = shard_params(tree["params"], self.mesh)
+        self.state = TrainState(params, tree["opt_state"],
+                                jnp.asarray(tree["step"]))
+        if meta:
+            self.best_val_loss = float(meta.get("val_loss", self.best_val_loss))
+            self.training_history = meta.get("training_history",
+                                             self.training_history)
+            if "lrs" in meta:
+                self.lrs = {k: float(v) for k, v in meta["lrs"].items()}
+            if "scheduler" in meta:
+                self.scheduler.load_state_dict(meta["scheduler"])
+            self.current_epoch = int(meta.get("epoch", 0))
+        self._log(f"Restored checkpoint from {checkpoint_path} "
+                  f"(epoch {self.current_epoch})")
+        return self.current_epoch
+
+    # ------------------------------------------------------------------
     def _scan_dataset(self) -> None:
         total_contracts = 0
         total_contract_vulns = 0.0
