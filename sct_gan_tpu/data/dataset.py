@@ -48,10 +48,16 @@ def build_token_to_line(source_code: str, tokenizer, max_length: int) -> np.ndar
     tokenization): ``[0] + per-line ids + [0]`` for CLS/SEP, then
     truncate/pad to ``max_length``.
     """
-    token_to_line: List[int] = []
-    for current_line, line in enumerate(source_code.split("\n")):
-        n = len(tokenizer.encode(line, add_special_tokens=False))
-        token_to_line.extend([current_line] * n)
+    if hasattr(tokenizer, "encode_with_lines"):
+        # native single-pass path (data/native_tokenizer.py): identical
+        # per-line semantics, one C++ call instead of O(lines) tokenizations
+        _, lines_arr = tokenizer.encode_with_lines(source_code)
+        token_to_line = lines_arr.tolist()
+    else:
+        token_to_line = []
+        for current_line, line in enumerate(source_code.split("\n")):
+            n = len(tokenizer.encode(line, add_special_tokens=False))
+            token_to_line.extend([current_line] * n)
     token_to_line = [0] + token_to_line + [0]
     if len(token_to_line) > max_length:
         token_to_line = token_to_line[:max_length]
