@@ -69,30 +69,45 @@ def make_batch(batch_size: int, seq: int, vocab: int):
     }
 
 
-def time_step(trainer, batch, warmup: int = 2, iters: int = 6) -> float:
-    """Median per-step wall time with a hard device barrier every step —
-    `block_until_ready` on the FULL updated state, not just the scalar
-    metrics (on remote backends the scalars can materialize before the
-    parameter update drains the queue, underreporting wildly)."""
+def time_step(trainer, batch, n_small: int = 2, n_large: int = 10) -> float:
+    """Per-step wall time by differential timing.
+
+    On the tunneled TPU backend `jax.block_until_ready` does NOT wait for
+    device execution (verified: it reports an 8192³ matmul at 0.02 ms); the
+    only reliable barrier is a device→host transfer, which carries a fixed
+    ~25-30 ms tunnel round-trip. So: run `n` data-dependent steps
+    back-to-back, fetch one loss scalar (full-graph dependency) to drain the
+    device, and take the slope (T(n_large) - T(n_small)) / Δn — constant
+    dispatch/transfer overheads cancel exactly.
+    """
     import jax
+    import numpy as np
     from sct_gan_tpu.parallel.mesh import shard_batch
 
     device_batch = shard_batch(batch, trainer.mesh)
-    scalars = trainer._scalars(1.0)
+    scalars0 = trainer._scalars(1.0)
     lrs = trainer._group_lrs()
-    rng = jax.random.PRNGKey(0)
-    state = trainer.state
-    times = []
-    for i in range(warmup + iters):
-        rng, sub = jax.random.split(rng)
+
+    def run(n, state, rng):
+        scalars = scalars0
         t0 = time.perf_counter()
-        state, metrics, scalars = trainer.train_step(state, device_batch,
-                                                     scalars, lrs, sub)
-        jax.block_until_ready((state.params, metrics))
-        if i >= warmup:
-            times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[len(times) // 2]
+        for _ in range(n):
+            rng, sub = jax.random.split(rng)
+            state, metrics, scalars = trainer.train_step(
+                state, device_batch, scalars, lrs, sub)
+        # total_loss depends on the whole step graph; D2H forces completion
+        _ = np.asarray(metrics["total_loss"])
+        return time.perf_counter() - t0, state
+
+    # compile + queue warmup
+    _, state = run(1, trainer.state, jax.random.PRNGKey(0))
+    _, state = run(1, state, jax.random.PRNGKey(1))
+    best = float("inf")
+    for rep in range(2):
+        t_small, state = run(n_small, state, jax.random.PRNGKey(2 + rep))
+        t_large, state = run(n_large, state, jax.random.PRNGKey(40 + rep))
+        best = min(best, (t_large - t_small) / (n_large - n_small))
+    return best
 
 
 def main() -> None:

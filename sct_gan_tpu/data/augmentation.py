@@ -216,3 +216,41 @@ class SmartContractAugmenter:
             "target_ids": tgt_enc["input_ids"],
             "target_attention_mask": tgt_enc["attention_mask"],
         }
+
+
+_SAMPLE_CONTRACT = """pragma solidity ^0.8.0;
+
+contract SimpleStorage {
+    uint256 private value;
+    address public owner;
+
+    constructor() {
+        owner = msg.sender;
+    }
+
+    function setValue(uint256 _value) public {
+        value = _value;
+    }
+
+    function getValue() public view returns (uint256) {
+        return value;
+    }
+}
+"""
+
+
+def test_augmentation(num_variants: int = 3, verbose: bool = True):
+    """Run the augmenter on the embedded sample contract and show the pairs
+    (parity: SCT-GAN/data_augmentation.py:346-396)."""
+    augmenter = SmartContractAugmenter()
+    pairs = augmenter.augment_contract(_SAMPLE_CONTRACT, num_variants)
+    if verbose:
+        print(f"Generated {len(pairs)} augmented pairs")
+        for i, (original, variant) in enumerate(pairs, 1):
+            print(f"\n=== Variant {i} ===")
+            print(variant[:400])
+    return pairs
+
+
+if __name__ == "__main__":
+    test_augmentation()

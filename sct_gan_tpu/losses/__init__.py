@@ -15,3 +15,8 @@ __all__ = [
     "solidity_syntax_loss",
     "cross_entropy_loss",
 ]
+from .classes import (FocalLoss, ContractLevelFocalLoss,
+                      SpatialAwareFocalLoss, SoliditySyntaxLoss)
+
+__all__ += ["FocalLoss", "ContractLevelFocalLoss", "SpatialAwareFocalLoss",
+            "SoliditySyntaxLoss"]

@@ -43,15 +43,10 @@ def focal_loss(pred: jnp.ndarray, target: jnp.ndarray,
     return fl
 
 
-def _spatial_penalty(pred: jnp.ndarray, target: jnp.ndarray,
-                     token_to_line: jnp.ndarray) -> jnp.ndarray:
-    """Vectorized ±2-line neighborhood penalty (train.py:174-245).
-
-    Args are batch-shaped: pred/target (B, S, C), token_to_line (B, S).
-    For each token i: if any nearby token (|line_i - line_j| <= 2, j != i)
-    carries a vulnerability label, penalty[i] = 0.1 · mean over nearby tokens
-    of sigmoid(pred[j]).
-    """
+def _spatial_penalty_dense(pred: jnp.ndarray, target: jnp.ndarray,
+                           token_to_line: jnp.ndarray) -> jnp.ndarray:
+    """Direct O(S²) pairwise form of the ±2-line neighborhood penalty
+    (train.py:174-245) — kept as the parity oracle for the banded version."""
     b, s, c = pred.shape
     ttl = token_to_line.astype(jnp.int32)
     near = jnp.abs(ttl[:, :, None] - ttl[:, None, :]) <= 2        # (B, S, S)
@@ -67,6 +62,48 @@ def _spatial_penalty(pred: jnp.ndarray, target: jnp.ndarray,
     penalty = jnp.where((has_vuln & (counts > 0))[..., None],
                         mean_sig * 0.1, 0.0)
     return penalty
+
+
+def _band5(x: jnp.ndarray) -> jnp.ndarray:
+    """out[:, l] = Σ_{|m-l|<=2} x[:, m] along axis 1 (edge-truncated)."""
+    p = jnp.pad(x, ((0, 0), (2, 2)) + ((0, 0),) * (x.ndim - 2))
+    l = x.shape[1]
+    return sum(p[:, d:d + l] for d in range(5))
+
+
+def _spatial_penalty(pred: jnp.ndarray, target: jnp.ndarray,
+                     token_to_line: jnp.ndarray) -> jnp.ndarray:
+    """±2-line neighborhood penalty, line-bucketed — O(S·C) instead of the
+    pairwise O(S²·C).
+
+    Identity with the dense form: a token j is "near" token i iff
+    |line_i - line_j| <= 2 and j != i, so the neighborhood sum over tokens
+    equals the 5-line banded sum of per-line bucket sums minus the token's
+    own contribution. Exact same numerics, no (B, S, S) tensors in HBM.
+    """
+    b, s, c = pred.shape
+    sig = jax.nn.sigmoid(pred)
+    ttl = jnp.clip(token_to_line.astype(jnp.int32), 0, s - 1)
+
+    seg = jax.vmap(lambda v, t: jax.ops.segment_sum(
+        v, t, num_segments=s, indices_are_sorted=False))
+    sig_l = seg(sig, ttl)                                      # (B, L, C)
+    tgt_l = seg(target, ttl)                                   # (B, L, C)
+    cnt_l = seg(jnp.ones((b, s, 1), pred.dtype), ttl)[..., 0]  # (B, L)
+
+    sig_band = _band5(sig_l)
+    tgt_band = _band5(tgt_l)
+    cnt_band = _band5(cnt_l[..., None])[..., 0]
+
+    take = lambda x: jnp.take_along_axis(
+        x, ttl[..., None] if x.ndim == 3 else ttl, axis=1)
+    counts = take(cnt_band) - 1.0                              # exclude self
+    nearby_sig = take(sig_band) - sig
+    nearby_tgt = take(tgt_band) - target
+    has_vuln = nearby_tgt.sum(axis=-1) > 0
+    mean_sig = nearby_sig / jnp.maximum(counts, 1.0)[..., None]
+    return jnp.where((has_vuln & (counts > 0))[..., None],
+                     mean_sig * 0.1, 0.0)
 
 
 def spatial_aware_focal_loss(

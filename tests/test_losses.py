@@ -155,3 +155,27 @@ def test_solidity_syntax_loss_composition():
                                           jnp.asarray(ids), tables,
                                           syntax_weight=0.5)
     np.testing.assert_allclose(total, ce + 0.5 * pen, rtol=1e-6)
+
+
+def test_spatial_penalty_banded_matches_dense():
+    """The O(S·C) line-bucketed penalty must equal the O(S²·C) pairwise
+    oracle exactly (same neighborhood definition, self-exclusion, gating)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sct_gan_tpu.losses.focal import (_spatial_penalty,
+                                          _spatial_penalty_dense)
+    rng = np.random.default_rng(0)
+    b, s, c = 3, 64, 8
+    pred = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    target = jnp.asarray((rng.random((b, s, c)) < 0.05), jnp.float32)
+    ttl = jnp.asarray(np.sort(rng.integers(0, 20, (b, s)), axis=1), jnp.int32)
+    banded = _spatial_penalty(pred, target, ttl)
+    dense = _spatial_penalty_dense(pred, target, ttl)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               rtol=1e-5, atol=1e-6)
+    # unsorted line ids too (augmented batches carry arbitrary maps)
+    ttl2 = jnp.asarray(rng.integers(0, 20, (b, s)), jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(_spatial_penalty(pred, target, ttl2)),
+        np.asarray(_spatial_penalty_dense(pred, target, ttl2)),
+        rtol=1e-5, atol=1e-6)
