@@ -1,14 +1,22 @@
-"""Blockwise flash attention as a Pallas TPU kernel.
+"""Blockwise flash attention as Pallas TPU kernels — forward AND backward.
 
 Replaces the implicit fused attention the reference gets from PyTorch's CUDA
 kernels (SCT-GAN/model.py:56-77 and the 7 standalone MHA modules). Online
 (streaming) softmax over key/value blocks: the (Sq, Sk) score matrix is never
-materialized in HBM, only one (BQ, BK) tile at a time in VMEM. Scales past the
-reference's hard L=1024 cap by construction.
+materialized in HBM — not in the forward and not in the backward. Scales past
+the reference's hard L=1024 cap by construction.
 
-Forward is the Pallas kernel; backward is a recompute-based custom VJP through
-the pure-JAX reference (`mha_reference`) — numerically identical gradients,
-flash-memory forward. A fused backward kernel is a later optimization.
+Forward saves per-row log-sum-exp; the backward is the standard two-kernel
+flash recipe:
+    D  = rowsum(dO ∘ O)                      (XLA)
+    dV = Pᵀ dO,  dS = P ∘ (dO Vᵀ − D),       (dKV kernel, grid over K blocks)
+    dK = dSᵀ Q · scale
+    dQ = dS K · scale                        (dQ kernel, grid over Q blocks)
+with P = exp(S − lse) recomputed tile-by-tile in VMEM from Q/K + lse.
+
+TPU layout notes: per-row statistics (lse, D) are carried in lane-broadcast
+(…, S, 128) buffers — a (1, 1, BQ) block of a (B, H, S) array violates the
+(8, 128) minimum tile, a (…, BQ, 128) block doesn't.
 """
 from __future__ import annotations
 
@@ -20,8 +28,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import mha_reference
-
 _NEG_INF = -1e30
 _MASK_THRESHOLD = -1e29  # entries at/below this are treated as fully masked
 
@@ -30,16 +36,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, bq, bk, sk_padded,
-               causal, scale):
+# -- forward ----------------------------------------------------------------
+
+def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                   bq, bk, sk_padded, causal, scale):
     qi = pl.program_id(2)
     q = q_ref[0, 0].astype(jnp.float32) * scale          # (BQ, Dp)
     num_kv_blocks = sk_padded // bk
-    if causal:
-        # With BQ == BK the last block any query row can see is block qi.
-        upper = qi + 1
-    else:
-        upper = num_kv_blocks
+    upper = qi + 1 if causal else num_kv_blocks
 
     def body(j, carry):
         m, l, acc = carry
@@ -66,11 +70,15 @@ def _fa_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, bq, bk, sk_padded,
     l0 = jnp.zeros((bq,), dtype=jnp.float32)
     acc0 = jnp.zeros((bq, q_ref.shape[-1]), dtype=jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, upper, body, (m0, l0, acc0))
-    l = jnp.where(l == 0.0, 1.0, l)  # fully-masked query rows → zeros, not NaN
-    o_ref[0, 0] = (acc / l[:, None]).astype(o_ref.dtype)
+    l_safe = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows → zeros, no NaN
+    o_ref[0, 0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    lse = m + jnp.log(l_safe)
+    lse_ref[0, 0] = jnp.broadcast_to(lse[:, None], (bq, 128)).astype(
+        lse_ref.dtype)
 
 
-def _flash_forward(q, k, v, kp_bias, causal: bool, block_q: int, block_k: int):
+def _flash_forward(q, k, v, kp_bias, causal: bool, block_q: int,
+                   block_k: int, need_lse: bool):
     b, h, sq, dh = q.shape
     sk = k.shape[2]
     dp = _round_up(dh, 128)
@@ -85,9 +93,9 @@ def _flash_forward(q, k, v, kp_bias, causal: bool, block_q: int, block_k: int):
 
     scale = 1.0 / (dh ** 0.5)
     grid = (b, h, sqp // block_q)
-    out = pl.pallas_call(
-        functools.partial(_fa_kernel, bq=block_q, bk=block_k, sk_padded=skp,
-                          causal=causal, scale=scale),
+    out, lse = pl.pallas_call(
+        functools.partial(_fa_fwd_kernel, bq=block_q, bk=block_k,
+                          sk_padded=skp, causal=causal, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, dp), lambda b_, h_, i: (b_, h_, i, 0),
@@ -101,39 +109,180 @@ def _flash_forward(q, k, v, kp_bias, causal: bool, block_q: int, block_k: int):
             pl.BlockSpec((1, 1, skp), lambda b_, h_, i: (b_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, dp),
-                               lambda b_, h_, i: (b_, h_, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, sqp, dp), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, dp),
+                         lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q, 128),
+                         lambda b_, h_, i: (b_, h_, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, sqp, dp), q.dtype),
+            jax.ShapeDtypeStruct((b, h, sqp, 128), jnp.float32),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sqp * skp * dp,
             bytes_accessed=(qp.size + kpad.size + vpad.size) * qp.dtype.itemsize,
             transcendentals=b * h * sqp * skp,
         ),
     )(qp, kpad, vpad, bias)
-    return out[:, :, :sq, :dh]
+    out = out[:, :, :sq, :dh]
+    if need_lse:
+        return out, lse, (qp, kpad, vpad, bias)
+    return out
+
+
+# -- backward ---------------------------------------------------------------
+
+def _fa_dkv_kernel(q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref, bias_ref,
+                   dk_ref, dv_ref, *, bq, bk, sq_padded, causal, scale):
+    kj = pl.program_id(2)
+    k = k_ref[0, 0].astype(jnp.float32)                   # (BK, Dp)
+    v = v_ref[0, 0].astype(jnp.float32)
+    bias_col = bias_ref[0, :, pl.ds(kj * bk, bk)]         # (1, BK)
+    num_q_blocks = sq_padded // bq
+    lower = kj if causal else 0
+
+    def body(qi, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(qi * bq, bq), :].astype(jnp.float32)
+        do = do_ref[0, 0, pl.ds(qi * bq, bq), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qi * bq, bq), 0]        # (BQ,)
+        dvec = d_ref[0, 0, pl.ds(qi * bq, bq), 0]         # (BQ,)
+        # sT: (BK, BQ) scores transposed
+        sT = jnp.dot(k, q.T, preferred_element_type=jnp.float32) * scale
+        sT = sT + bias_col.T                              # (BK, 1) broadcast
+        if causal:
+            rows = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 0)
+            cols = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 1)
+            sT = jnp.where(cols >= rows, sT, _NEG_INF)
+        pT = jnp.exp(sT - lse[None, :])
+        pT = jnp.where(sT > _MASK_THRESHOLD, pT, 0.0)
+        dv = dv + jnp.dot(pT, do, preferred_element_type=jnp.float32)
+        dpT = jnp.dot(v, do.T, preferred_element_type=jnp.float32)  # (BK,BQ)
+        dsT = pT * (dpT - dvec[None, :])
+        dk = dk + jnp.dot(dsT, q, preferred_element_type=jnp.float32) * scale
+        return dk, dv
+
+    zeros = jnp.zeros((bk, k_ref.shape[-1]), jnp.float32)
+    dk, dv = jax.lax.fori_loop(lower, num_q_blocks, body, (zeros, zeros))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _fa_dq_kernel(k_ref, v_ref, bias_ref, q_ref, do_ref, lse_ref, d_ref,
+                  dq_ref, *, bq, bk, sk_padded, causal, scale):
+    qi = pl.program_id(2)
+    q = q_ref[0, 0].astype(jnp.float32)                   # (BQ, Dp)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0, :, 0]                             # (BQ,)
+    dvec = d_ref[0, 0, :, 0]
+    num_kv_blocks = sk_padded // bk
+    upper = qi + 1 if causal else num_kv_blocks
+
+    def body(j, dq):
+        k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[0, :, pl.ds(j * bk, bk)]
+        if causal:
+            rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            cols = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = jnp.where(cols <= rows, s, _NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        p = jnp.where(s > _MASK_THRESHOLD, p, 0.0)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - dvec[:, None])
+        return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+
+    dq = jax.lax.fori_loop(0, upper, body,
+                           jnp.zeros((bq, q_ref.shape[-1]), jnp.float32))
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _flash_backward(res, g, causal, block_q, block_k):
+    qp, kpad, vpad, bias, lse, out_p = res
+    b, h, sqp, dp = qp.shape
+    skp = kpad.shape[2]
+    sq, dh = g.shape[2], g.shape[3]
+    scale = 1.0 / (dh ** 0.5)
+
+    do = jnp.pad(g.astype(jnp.float32),
+                 ((0, 0), (0, 0), (0, sqp - sq), (0, dp - dh)))
+    # D = rowsum(dO ∘ O), lane-broadcast to (…, 128)
+    dvec = jnp.sum(do * out_p.astype(jnp.float32), axis=-1)      # (B,H,Sqp)
+    dvec = jnp.broadcast_to(dvec[..., None], (b, h, sqp, 128))
+
+    full_q = lambda last: pl.BlockSpec((1, 1, sqp, last),
+                                       lambda b_, h_, i: (b_, h_, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    full_k = lambda last: pl.BlockSpec((1, 1, skp, last),
+                                       lambda b_, h_, i: (b_, h_, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    blk_q = lambda last: pl.BlockSpec((1, 1, block_q, last),
+                                      lambda b_, h_, i: (b_, h_, i, 0),
+                                      memory_space=pltpu.VMEM)
+    blk_k = lambda last: pl.BlockSpec((1, 1, block_k, last),
+                                      lambda b_, h_, i: (b_, h_, i, 0),
+                                      memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, 1, skp), lambda b_, h_, i: (b_, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_fa_dkv_kernel, bq=block_q, bk=block_k,
+                          sq_padded=sqp, causal=causal, scale=scale),
+        grid=(b, h, skp // block_k),
+        in_specs=[full_q(dp), full_q(dp), full_q(128), full_q(128),
+                  blk_k(dp), blk_k(dp), bias_spec],
+        out_specs=(blk_k(dp), blk_k(dp)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, skp, dp), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, skp, dp), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * sqp * skp * dp,
+            bytes_accessed=(2 * qp.size + kpad.size + vpad.size) * 4,
+            transcendentals=b * h * sqp * skp),
+    )(qp, do, lse, dvec, kpad, vpad, bias)
+
+    dq = pl.pallas_call(
+        functools.partial(_fa_dq_kernel, bq=block_q, bk=block_k,
+                          sk_padded=skp, causal=causal, scale=scale),
+        grid=(b, h, sqp // block_q),
+        in_specs=[full_k(dp), full_k(dp), bias_spec,
+                  blk_q(dp), blk_q(dp), blk_q(128), blk_q(128)],
+        out_specs=blk_q(dp),
+        out_shape=jax.ShapeDtypeStruct((b, h, sqp, dp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * h * sqp * skp * dp,
+            bytes_accessed=(2 * qp.size + kpad.size + vpad.size) * 4,
+            transcendentals=b * h * sqp * skp),
+    )(kpad, vpad, bias, qp, do, lse, dvec)
+
+    return dq[:, :, :sq, :dh], dk[:, :, :, :dh], dv[:, :, :, :dh]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash(q, k, v, kp_bias, causal, block_q, block_k):
-    return _flash_forward(q, k, v, kp_bias, causal, block_q, block_k)
+    return _flash_forward(q, k, v, kp_bias, causal, block_q, block_k,
+                          need_lse=False)
 
 
 def _flash_fwd(q, k, v, kp_bias, causal, block_q, block_k):
-    out = _flash_forward(q, k, v, kp_bias, causal, block_q, block_k)
-    return out, (q, k, v, kp_bias)
+    out, lse, (qp, kpad, vpad, bias) = _flash_forward(
+        q, k, v, kp_bias, causal, block_q, block_k, need_lse=True)
+    sq, dh = q.shape[2], q.shape[3]
+    out_p = jnp.pad(out, ((0, 0), (0, 0), (0, qp.shape[2] - sq),
+                          (0, qp.shape[3] - dh)))
+    return out, (qp, kpad, vpad, bias, lse, out_p, kp_bias)
 
 
-def _flash_bwd(causal, block_q, block_k, residuals, g):
-    q, k, v, kp_bias = residuals
-
-    def ref(q_, k_, v_):
-        mask = kp_bias > _MASK_THRESHOLD  # back to boolean attendable mask
-        return mha_reference(q_, k_, v_, key_padding_mask=mask, causal=causal)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
-    return dq, dk, dv, jnp.zeros_like(kp_bias)
+def _flash_bwd(causal, block_q, block_k, res, g):
+    qp, kpad, vpad = res[0], res[1], res[2]
+    kp_bias = res[6]
+    sk = kp_bias.shape[-1]
+    dq, dk, dv = _flash_backward(res[:6], g, causal, block_q, block_k)
+    return (dq.astype(qp.dtype), dk[:, :, :sk, :].astype(kpad.dtype),
+            dv[:, :, :sk, :].astype(vpad.dtype), jnp.zeros_like(kp_bias))
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
