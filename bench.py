@@ -102,11 +102,18 @@ def time_step(trainer, batch, n_small: int = 2, n_large: int = 10) -> float:
     # compile + queue warmup
     _, state = run(1, trainer.state, jax.random.PRNGKey(0))
     _, state = run(1, state, jax.random.PRNGKey(1))
+    # fixed D2H round-trip latency (subtracted from the chained measurement)
+    import jax.numpy as jnp
+    tiny = jnp.zeros((8,))
+    null = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        np.asarray(tiny + i)
+        null = min(null, time.perf_counter() - t0)
     best = float("inf")
     for rep in range(2):
-        t_small, state = run(n_small, state, jax.random.PRNGKey(2 + rep))
-        t_large, state = run(n_large, state, jax.random.PRNGKey(40 + rep))
-        best = min(best, (t_large - t_small) / (n_large - n_small))
+        t_chain, state = run(n_large, state, jax.random.PRNGKey(10 + rep))
+        best = min(best, max(t_chain - null, 1e-9) / n_large)
     return best
 
 
@@ -126,7 +133,7 @@ def main() -> None:
     log("building naive-port trainer (fp32, dense attention)...")
     naive = build_trainer("float32", False, batch_size, seq)
     log("timing naive step...")
-    t_naive = time_step(naive, batch, warmup=1, iters=3)
+    t_naive = time_step(naive, batch, n_large=4)
     naive_tps = tokens_per_step / t_naive
     log(f"naive: {t_naive * 1e3:.1f} ms/step = {naive_tps:,.0f} tok/s/chip")
 

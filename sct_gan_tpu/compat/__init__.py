@@ -10,8 +10,10 @@ with only the import root swapped:
     from sct_gan_tpu.compat import data_augmentation, pattern_matcher
     from sct_gan_tpu.compat import notebook_utils, analyze_contracts
 """
-from . import (analyze_contracts, data_augmentation, dataset, inference,
-               model, notebook_utils, pattern_matcher, train)
+from . import (analyze_contracts, binary_tasc, data_augmentation, dataset,
+               inference, model, multiclass_tasc, notebook_utils,
+               pattern_matcher, train)
 
 __all__ = ["model", "train", "dataset", "inference", "data_augmentation",
-           "pattern_matcher", "notebook_utils", "analyze_contracts"]
+           "pattern_matcher", "notebook_utils", "analyze_contracts",
+           "binary_tasc", "multiclass_tasc"]

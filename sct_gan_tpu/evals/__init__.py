@@ -27,3 +27,6 @@ __all__ = [
     "BASELINE_LINE_THRESHOLDS",
     "visualize_training_progress",
 ]
+from .perplexity import compute_perplexity
+
+__all__ += ["compute_perplexity"]

@@ -105,7 +105,12 @@ def build_gradient_transform(params, *, use_gan: bool,
                            lambda p: any(k in p for k in _DISC_KEYS))
     vuln_mask = _mask_tree(params,
                            lambda p: any(k in p for k in _VULN_CLIP_KEYS))
-    chain = [optax.clip_by_global_norm(max_grad_norm)]
+    fusion_mask = _mask_tree(params, lambda p: "feature_fusion" in p)
+    # per-parameter ±1.0 clamp on the fusion layer — the reference registers
+    # grad hooks that clamp during backward, i.e. before any norm clipping
+    # (SCT-GAN/model.py:284-286, 385-387)
+    chain = [optax.masked(optax.clip(1.0), fusion_mask),
+             optax.clip_by_global_norm(max_grad_norm)]
     if use_gan:
         chain.append(optax.masked(
             optax.clip_by_global_norm(max_grad_norm * 0.3), disc_mask))

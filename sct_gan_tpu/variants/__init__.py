@@ -20,3 +20,8 @@ __all__ = [
     "SolidityCodeLoss",
     "VulnerabilityDetectionTrainer",
 ]
+from .factory import (VARIANTS, build_trainer, build_variant,
+                      generate_vulnerable_code)
+
+__all__ += ["VARIANTS", "build_variant", "build_trainer",
+            "generate_vulnerable_code"]

@@ -122,3 +122,14 @@ def test_visualize_training_progress(tmp_path):
     assert os.path.exists(path)
     import matplotlib.pyplot as plt
     plt.close(fig)
+
+
+def test_compute_perplexity(eval_setup):
+    from sct_gan_tpu.evals import compute_perplexity
+    from sct_gan_tpu.data.dataset import ArrayDataLoader
+    analyzer, loader = eval_setup
+    res = compute_perplexity(analyzer.model, analyzer.params, loader,
+                             max_batches=2)
+    assert res["perplexity"] > 1.0
+    assert res["tokens"] > 0
+    assert res["cross_entropy"] > 0

@@ -130,3 +130,32 @@ def test_tasc_trainer_epoch(tok, loaders, multiclass):
     assert np.isfinite(val)
     hist = trainer.training_history
     assert len(hist["g_loss"]) == 1 and len(hist["val_loss"]) == 1
+
+
+def test_variant_factory(tok):
+    from sct_gan_tpu.variants import VARIANTS, build_variant
+    for name in ("binary-tasc", "multiclass-tasc"):
+        model, cfg = build_variant(name, dict(
+            d_model=32, nhead=2, num_layers=1, dim_feedforward=64,
+            vocab_size=256, decoder_vocab_size=128, max_gen_length=16,
+            compute_dtype="float32", codebert_num_layers=1, codebert_nhead=2,
+            codebert_ffn=64, max_length=32))
+        assert model.config.d_model == 32
+    model, cfg = build_variant("model-v3")
+    assert model.config.use_gan is False
+    model, cfg = build_variant("sct-gan")
+    assert model.config.use_gan is True
+    model, cfg = build_variant("final-model")
+    assert model.config.use_gan is True
+
+
+def test_generate_vulnerable_code(gan_and_params, tok):
+    import jax
+    from sct_gan_tpu.variants import generate_vulnerable_code
+    model, params = gan_and_params
+    out = generate_vulnerable_code(model, params, jax.random.PRNGKey(0),
+                                   num_samples=2, tokenizer=tok,
+                                   max_length=12)
+    assert out["tokens"].shape == (2, 12)
+    assert isinstance(out["code"], str)
+    assert out["vulnerability_scores"].shape == (2, 4)
