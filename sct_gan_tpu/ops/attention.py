@@ -111,18 +111,19 @@ def dot_product_attention(
 ):
     """Dispatch to the Pallas flash kernel when possible, else the reference.
 
-    Flash is used when: on TPU, no attention-weight dropout is active, and the
-    caller does not need materialized weights. Attention-weight dropout makes
-    blockwise softmax non-streamable (the reference applies dropout *on the
-    weights*), so training-with-dropout uses the XLA-fused reference path —
-    still fully on-device and fused by XLA.
+    Flash is used when: on TPU and the caller does not need materialized
+    weights. Attention-weight dropout (which the reference applies on the
+    softmax weights, dropout 0.3 across 13 modules) runs INSIDE the kernel
+    with a tile-deterministic PRNG — the training path stays flash.
     """
     wants_dropout = dropout_rate > 0.0 and not deterministic
     on_tpu = jax.default_backend() == "tpu"
-    if use_flash and on_tpu and not wants_dropout and not return_weights:
+    if use_flash and on_tpu and not return_weights:
         from .flash_attention import flash_attention
-        return flash_attention(q, k, v, key_padding_mask=key_padding_mask,
-                               causal=causal)
+        return flash_attention(
+            q, k, v, key_padding_mask=key_padding_mask, causal=causal,
+            dropout_rate=dropout_rate if wants_dropout else 0.0,
+            dropout_rng=dropout_rng if wants_dropout else None)
     return mha_reference(
         q, k, v, key_padding_mask=key_padding_mask, causal=causal,
         dropout_rate=dropout_rate, deterministic=deterministic,

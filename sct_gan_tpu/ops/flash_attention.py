@@ -1,4 +1,5 @@
-"""Blockwise flash attention as Pallas TPU kernels — forward AND backward.
+"""Blockwise flash attention as Pallas TPU kernels — forward AND backward,
+with in-kernel attention-weight dropout.
 
 Replaces the implicit fused attention the reference gets from PyTorch's CUDA
 kernels (SCT-GAN/model.py:56-77 and the 7 standalone MHA modules). Online
@@ -6,13 +7,21 @@ kernels (SCT-GAN/model.py:56-77 and the 7 standalone MHA modules). Online
 materialized in HBM — not in the forward and not in the backward. Scales past
 the reference's hard L=1024 cap by construction.
 
+Dropout is applied to the softmax weights exactly as torch MHA does
+(keep/(1-r) scaling), but generated tile-by-tile with the Pallas TPU PRNG:
+the mask for tile (b, h, qi, kj) is a pure function of a scalar seed and the
+tile coordinates, so the backward kernels REGENERATE it bit-for-bit instead
+of storing an (Sq, Sk) mask. This is what lets training-mode attention
+(dropout 0.3 on 13 modules, model.py:56-77) stay on the flash path.
+
 Forward saves per-row log-sum-exp; the backward is the standard two-kernel
-flash recipe:
-    D  = rowsum(dO ∘ O)                      (XLA)
-    dV = Pᵀ dO,  dS = P ∘ (dO Vᵀ − D),       (dKV kernel, grid over K blocks)
-    dK = dSᵀ Q · scale
-    dQ = dS K · scale                        (dQ kernel, grid over Q blocks)
-with P = exp(S − lse) recomputed tile-by-tile in VMEM from Q/K + lse.
+flash recipe (with M the dropout keep-mask, r the rate):
+    D  = rowsum(dO ∘ O)                               (XLA)
+    dV = (M∘P/(1-r))ᵀ dO                              (dKV kernel, K grid)
+    dS = P ∘ (M/(1-r) ∘ (dO Vᵀ) − D);  dK = dSᵀ Q·s
+    dQ = dS K · s                                     (dQ kernel, Q grid)
+with P = exp(S − lse) recomputed tile-by-tile in VMEM. (The dropout-aware
+softmax-backward identity: Σ_k W_ik dW_ik = dO_i·O_i = D_i still holds.)
 
 TPU layout notes: per-row statistics (lse, D) are carried in lane-broadcast
 (…, S, 128) buffers — a (1, 1, BQ) block of a (B, H, S) array violates the
@@ -36,11 +45,31 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _keep_mask(seed_ref, tile_index, bq, bk, rate):
+    """Deterministic per-tile keep mask, regenerable in any kernel.
+
+    Mosaic's prng_seed accepts at most 2 scalars, so the (b, h, qi, kj) tile
+    coordinates are pre-folded into one index by the caller."""
+    pltpu.prng_seed(seed_ref[0, 0], tile_index)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((bq, bk)), jnp.uint32)
+    threshold = jnp.uint32(int(min(rate, 0.999999) * 4294967296.0))
+    return bits >= threshold
+
+
+def _tile_index(b, h, qi, kj, nh, nq, nk):
+    """Unique int32 per (batch, head, q-block, k-block) tile."""
+    return ((b * nh + h) * nq + qi) * nk + kj
+
+
 # -- forward ----------------------------------------------------------------
 
-def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
-                   bq, bk, sk_padded, causal, scale):
+def _fa_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                   *, bq, bk, sk_padded, causal, scale, dropout_rate,
+                   nh, nq):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
     qi = pl.program_id(2)
+    nk = sk_padded // bk
     q = q_ref[0, 0].astype(jnp.float32) * scale          # (BQ, Dp)
     num_kv_blocks = sk_padded // bk
     upper = qi + 1 if causal else num_kv_blocks
@@ -60,10 +89,17 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         # so far, m_new == -inf stand-in and exp(0) would otherwise leak 1s.
         p = jnp.where(s > _MASK_THRESHOLD, p, 0.0)
         alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1)
+        l_new = l * alpha + jnp.sum(p, axis=-1)   # l from UNdropped weights
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref,
+                              _tile_index(bi, hi, qi, j, nh, nq, nk),
+                              bq, bk, dropout_rate)
+            p_use = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        else:
+            p_use = p
         v = v_ref[0, 0, pl.ds(j * bk, bk), :]
         acc_new = acc * alpha[:, None] + jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            p_use.astype(v.dtype), v, preferred_element_type=jnp.float32)
         return m_new, l_new, acc_new
 
     m0 = jnp.full((bq,), _NEG_INF, dtype=jnp.float32)
@@ -77,8 +113,8 @@ def _fa_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         lse_ref.dtype)
 
 
-def _flash_forward(q, k, v, kp_bias, causal: bool, block_q: int,
-                   block_k: int, need_lse: bool):
+def _flash_forward(q, k, v, kp_bias, seed, causal: bool, block_q: int,
+                   block_k: int, dropout_rate: float, need_lse: bool):
     b, h, sq, dh = q.shape
     sk = k.shape[2]
     dp = _round_up(dh, 128)
@@ -90,14 +126,20 @@ def _flash_forward(q, k, v, kp_bias, causal: bool, block_q: int,
     vpad = jnp.pad(v, ((0, 0), (0, 0), (0, skp - sk), (0, dp - dh)))
     bias = jnp.pad(kp_bias.astype(jnp.float32), ((0, 0), (0, skp - sk)),
                    constant_values=_NEG_INF)[:, None, :]   # (B, 1, Skp)
+    seed2d = seed.reshape(1, 1).astype(jnp.int32)
 
     scale = 1.0 / (dh ** 0.5)
     grid = (b, h, sqp // block_q)
+    seed_spec = pl.BlockSpec((1, 1), lambda b_, h_, i: (0, 0),
+                             memory_space=pltpu.SMEM)
     out, lse = pl.pallas_call(
         functools.partial(_fa_fwd_kernel, bq=block_q, bk=block_k,
-                          sk_padded=skp, causal=causal, scale=scale),
+                          sk_padded=skp, causal=causal, scale=scale,
+                          dropout_rate=dropout_rate, nh=h,
+                          nq=sqp // block_q),
         grid=grid,
         in_specs=[
+            seed_spec,
             pl.BlockSpec((1, 1, block_q, dp), lambda b_, h_, i: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, skp, dp), lambda b_, h_, i: (b_, h_, 0, 0),
@@ -126,7 +168,7 @@ def _flash_forward(q, k, v, kp_bias, causal: bool, block_q: int,
             bytes_accessed=(qp.size + kpad.size + vpad.size) * qp.dtype.itemsize,
             transcendentals=b * h * sqp * skp,
         ),
-    )(qp, kpad, vpad, bias)
+    )(seed2d, qp, kpad, vpad, bias)
     out = out[:, :, :sq, :dh]
     if need_lse:
         return out, lse, (qp, kpad, vpad, bias)
@@ -135,14 +177,19 @@ def _flash_forward(q, k, v, kp_bias, causal: bool, block_q: int,
 
 # -- backward ---------------------------------------------------------------
 
-def _fa_dkv_kernel(q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref, bias_ref,
-                   dk_ref, dv_ref, *, bq, bk, sq_padded, causal, scale):
+def _fa_dkv_kernel(seed_ref, q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref,
+                   bias_ref, dk_ref, dv_ref, *, bq, bk, sq_padded, causal,
+                   scale, dropout_rate, nh, nk):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
     kj = pl.program_id(2)
+    nq = sq_padded // bq
     k = k_ref[0, 0].astype(jnp.float32)                   # (BK, Dp)
     v = v_ref[0, 0].astype(jnp.float32)
     bias_col = bias_ref[0, :, pl.ds(kj * bk, bk)]         # (1, BK)
     num_q_blocks = sq_padded // bq
     lower = kj if causal else 0
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     def body(qi, carry):
         dk, dv = carry
@@ -159,8 +206,18 @@ def _fa_dkv_kernel(q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref, bias_ref,
             sT = jnp.where(cols >= rows, sT, _NEG_INF)
         pT = jnp.exp(sT - lse[None, :])
         pT = jnp.where(sT > _MASK_THRESHOLD, pT, 0.0)
-        dv = dv + jnp.dot(pT, do, preferred_element_type=jnp.float32)
         dpT = jnp.dot(v, do.T, preferred_element_type=jnp.float32)  # (BK,BQ)
+        if dropout_rate > 0.0:
+            # Mosaic can't transpose i1 vectors: lift the mask to f32 first
+            keepT = _keep_mask(seed_ref,
+                               _tile_index(bi, hi, qi, kj, nh, nq, nk),
+                               bq, bk, dropout_rate).astype(
+                jnp.float32).T * inv_keep                     # (BK, BQ)
+            pT_drop = pT * keepT
+            dpT = dpT * keepT
+        else:
+            pT_drop = pT
+        dv = dv + jnp.dot(pT_drop, do, preferred_element_type=jnp.float32)
         dsT = pT * (dpT - dvec[None, :])
         dk = dk + jnp.dot(dsT, q, preferred_element_type=jnp.float32) * scale
         return dk, dv
@@ -171,15 +228,20 @@ def _fa_dkv_kernel(q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref, bias_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _fa_dq_kernel(k_ref, v_ref, bias_ref, q_ref, do_ref, lse_ref, d_ref,
-                  dq_ref, *, bq, bk, sk_padded, causal, scale):
+def _fa_dq_kernel(seed_ref, k_ref, v_ref, bias_ref, q_ref, do_ref, lse_ref,
+                  d_ref, dq_ref, *, bq, bk, sk_padded, causal, scale,
+                  dropout_rate, nh, nq):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
     qi = pl.program_id(2)
+    nk = sk_padded // bk
     q = q_ref[0, 0].astype(jnp.float32)                   # (BQ, Dp)
     do = do_ref[0, 0].astype(jnp.float32)
     lse = lse_ref[0, 0, :, 0]                             # (BQ,)
     dvec = d_ref[0, 0, :, 0]
     num_kv_blocks = sk_padded // bk
     upper = qi + 1 if causal else num_kv_blocks
+    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
 
     def body(j, dq):
         k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
@@ -193,6 +255,11 @@ def _fa_dq_kernel(k_ref, v_ref, bias_ref, q_ref, do_ref, lse_ref, d_ref,
         p = jnp.exp(s - lse[:, None])
         p = jnp.where(s > _MASK_THRESHOLD, p, 0.0)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref,
+                              _tile_index(bi, hi, qi, j, nh, nq, nk),
+                              bq, bk, dropout_rate)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
         ds = p * (dp - dvec[:, None])
         return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
 
@@ -201,12 +268,13 @@ def _fa_dq_kernel(k_ref, v_ref, bias_ref, q_ref, do_ref, lse_ref, d_ref,
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
-def _flash_backward(res, g, causal, block_q, block_k):
+def _flash_backward(res, g, seed, causal, block_q, block_k, dropout_rate):
     qp, kpad, vpad, bias, lse, out_p = res
     b, h, sqp, dp = qp.shape
     skp = kpad.shape[2]
     sq, dh = g.shape[2], g.shape[3]
     scale = 1.0 / (dh ** 0.5)
+    seed2d = seed.reshape(1, 1).astype(jnp.int32)
 
     do = jnp.pad(g.astype(jnp.float32),
                  ((0, 0), (0, 0), (0, sqp - sq), (0, dp - dh)))
@@ -214,6 +282,8 @@ def _flash_backward(res, g, causal, block_q, block_k):
     dvec = jnp.sum(do * out_p.astype(jnp.float32), axis=-1)      # (B,H,Sqp)
     dvec = jnp.broadcast_to(dvec[..., None], (b, h, sqp, 128))
 
+    seed_spec = pl.BlockSpec((1, 1), lambda b_, h_, i: (0, 0),
+                             memory_space=pltpu.SMEM)
     full_q = lambda last: pl.BlockSpec((1, 1, sqp, last),
                                        lambda b_, h_, i: (b_, h_, 0, 0),
                                        memory_space=pltpu.VMEM)
@@ -231,9 +301,11 @@ def _flash_backward(res, g, causal, block_q, block_k):
 
     dk, dv = pl.pallas_call(
         functools.partial(_fa_dkv_kernel, bq=block_q, bk=block_k,
-                          sq_padded=sqp, causal=causal, scale=scale),
+                          sq_padded=sqp, causal=causal, scale=scale,
+                          dropout_rate=dropout_rate, nh=h,
+                          nk=skp // block_k),
         grid=(b, h, skp // block_k),
-        in_specs=[full_q(dp), full_q(dp), full_q(128), full_q(128),
+        in_specs=[seed_spec, full_q(dp), full_q(dp), full_q(128), full_q(128),
                   blk_k(dp), blk_k(dp), bias_spec],
         out_specs=(blk_k(dp), blk_k(dp)),
         out_shape=(jax.ShapeDtypeStruct((b, h, skp, dp), jnp.float32),
@@ -242,13 +314,15 @@ def _flash_backward(res, g, causal, block_q, block_k):
             flops=10 * b * h * sqp * skp * dp,
             bytes_accessed=(2 * qp.size + kpad.size + vpad.size) * 4,
             transcendentals=b * h * sqp * skp),
-    )(qp, do, lse, dvec, kpad, vpad, bias)
+    )(seed2d, qp, do, lse, dvec, kpad, vpad, bias)
 
     dq = pl.pallas_call(
         functools.partial(_fa_dq_kernel, bq=block_q, bk=block_k,
-                          sk_padded=skp, causal=causal, scale=scale),
+                          sk_padded=skp, causal=causal, scale=scale,
+                          dropout_rate=dropout_rate, nh=h,
+                          nq=sqp // block_q),
         grid=(b, h, sqp // block_q),
-        in_specs=[full_k(dp), full_k(dp), bias_spec,
+        in_specs=[seed_spec, full_k(dp), full_k(dp), bias_spec,
                   blk_q(dp), blk_q(dp), blk_q(128), blk_q(128)],
         out_specs=blk_q(dp),
         out_shape=jax.ShapeDtypeStruct((b, h, sqp, dp), jnp.float32),
@@ -256,33 +330,37 @@ def _flash_backward(res, g, causal, block_q, block_k):
             flops=6 * b * h * sqp * skp * dp,
             bytes_accessed=(2 * qp.size + kpad.size + vpad.size) * 4,
             transcendentals=b * h * sqp * skp),
-    )(kpad, vpad, bias, qp, do, lse, dvec)
+    )(seed2d, kpad, vpad, bias, qp, do, lse, dvec)
 
     return dq[:, :, :sq, :dh], dk[:, :, :, :dh], dv[:, :, :, :dh]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash(q, k, v, kp_bias, causal, block_q, block_k):
-    return _flash_forward(q, k, v, kp_bias, causal, block_q, block_k,
-                          need_lse=False)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash(q, k, v, kp_bias, seed, causal, block_q, block_k, dropout_rate):
+    return _flash_forward(q, k, v, kp_bias, seed, causal, block_q, block_k,
+                          dropout_rate, need_lse=False)
 
 
-def _flash_fwd(q, k, v, kp_bias, causal, block_q, block_k):
+def _flash_fwd(q, k, v, kp_bias, seed, causal, block_q, block_k,
+               dropout_rate):
     out, lse, (qp, kpad, vpad, bias) = _flash_forward(
-        q, k, v, kp_bias, causal, block_q, block_k, need_lse=True)
+        q, k, v, kp_bias, seed, causal, block_q, block_k, dropout_rate,
+        need_lse=True)
     sq, dh = q.shape[2], q.shape[3]
     out_p = jnp.pad(out, ((0, 0), (0, 0), (0, qp.shape[2] - sq),
                           (0, qp.shape[3] - dh)))
-    return out, (qp, kpad, vpad, bias, lse, out_p, kp_bias)
+    return out, (qp, kpad, vpad, bias, lse, out_p, kp_bias, seed)
 
 
-def _flash_bwd(causal, block_q, block_k, res, g):
+def _flash_bwd(causal, block_q, block_k, dropout_rate, res, g):
     qp, kpad, vpad = res[0], res[1], res[2]
-    kp_bias = res[6]
+    kp_bias, seed = res[6], res[7]
     sk = kp_bias.shape[-1]
-    dq, dk, dv = _flash_backward(res[:6], g, causal, block_q, block_k)
+    dq, dk, dv = _flash_backward(res[:6], g, seed, causal, block_q, block_k,
+                                 dropout_rate)
     return (dq.astype(qp.dtype), dk[:, :, :sk, :].astype(kpad.dtype),
-            dv[:, :, :sk, :].astype(vpad.dtype), jnp.zeros_like(kp_bias))
+            dv[:, :, :sk, :].astype(vpad.dtype), jnp.zeros_like(kp_bias),
+            jnp.zeros_like(seed))
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -297,14 +375,26 @@ def flash_attention(
     causal: bool = False,
     block_q: int = 128,
     block_k: int = 128,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Flash attention over split heads (B, H, S, Dh).
 
     ``key_padding_mask``: (B, Sk) bool, True = attendable.
+    ``dropout_rate``/``dropout_rng``: attention-weight dropout applied inside
+    the kernel (torch-MHA semantics); the mask is regenerated in the backward
+    from the derived scalar seed — nothing S×S is ever stored.
     """
     sk = k.shape[2]
     if key_padding_mask is None:
         kp_bias = jnp.zeros((q.shape[0], sk), dtype=jnp.float32)
     else:
         kp_bias = jnp.where(key_padding_mask, 0.0, _NEG_INF).astype(jnp.float32)
-    return _flash(q, k, v, kp_bias, causal, block_q, block_k)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        seed = jax.random.randint(dropout_rng, (), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        rate = float(dropout_rate)
+    else:
+        seed = jnp.int32(0)
+        rate = 0.0
+    return _flash(q, k, v, kp_bias, seed, causal, block_q, block_k, rate)

@@ -1,0 +1,99 @@
+"""On-TPU kernel validation suite (run manually: the pytest suite runs on the
+CPU backend where the Pallas kernels don't dispatch).
+
+    /opt/venv/bin/python tools/validate_tpu_kernels.py
+
+Checks, on the real chip:
+  * flash forward vs pure-JAX reference (masked, causal, odd head dims);
+  * flash backward (fused dKV/dQ kernels) vs reference autodiff;
+  * in-kernel dropout: determinism per seed, seed sensitivity, mean
+    preservation, rate→0 gradient limit.
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from sct_gan_tpu.ops.attention import mha_reference
+    from sct_gan_tpu.ops.flash_attention import flash_attention
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print(f"SKIP: backend is {jax.default_backend()}, need TPU")
+        return 0
+
+    rng = np.random.default_rng(0)
+    failures = 0
+
+    def check(name, cond, detail=""):
+        nonlocal failures
+        status = "ok" if cond else "FAIL"
+        if not cond:
+            failures += 1
+        print(f"[{status}] {name} {detail}")
+
+    # forward + backward parity
+    for (b, h, s, dh, causal) in [(2, 4, 256, 64, False),
+                                  (2, 4, 256, 64, True),
+                                  (1, 8, 1024, 96, False)]:
+        q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+        mask = jnp.asarray(rng.random((b, s)) > 0.2)
+        of = flash_attention(q, k, v, key_padding_mask=mask, causal=causal)
+        orf = mha_reference(q, k, v, key_padding_mask=mask, causal=causal)
+        err = float(jnp.abs(of - orf).max())
+        check(f"fwd b{b} h{h} s{s} causal={causal}", err < 2e-2,
+              f"max_err={err:.2e}")
+
+        w = jnp.asarray(rng.standard_normal(of.shape), jnp.float32)
+        gf = jax.grad(lambda *a: jnp.sum(flash_attention(
+            *a, key_padding_mask=mask, causal=causal) * w),
+            argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda *a: jnp.sum(mha_reference(
+            *a, key_padding_mask=mask, causal=causal) * w),
+            argnums=(0, 1, 2))(q, k, v)
+        err = max(float(jnp.abs(a - b_).max()) for a, b_ in zip(gf, gr))
+        check(f"bwd b{b} h{h} s{s} causal={causal}", err < 5e-2,
+              f"max_err={err:.2e}")
+
+    # dropout behavior
+    b, h, s, dh = 2, 4, 256, 64
+    q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, s)) > 0.2)
+    key = jax.random.PRNGKey(42)
+    clean = flash_attention(q, k, v, key_padding_mask=mask)
+    o1 = flash_attention(q, k, v, key_padding_mask=mask, dropout_rate=0.3,
+                         dropout_rng=key)
+    o1b = flash_attention(q, k, v, key_padding_mask=mask, dropout_rate=0.3,
+                          dropout_rng=key)
+    o2 = flash_attention(q, k, v, key_padding_mask=mask, dropout_rate=0.3,
+                         dropout_rng=jax.random.PRNGKey(7))
+    check("dropout deterministic per seed", bool(jnp.allclose(o1, o1b)))
+    check("dropout varies across seeds", not bool(jnp.allclose(o1, o2)))
+    mean = sum(flash_attention(q, k, v, key_padding_mask=mask,
+                               dropout_rate=0.3,
+                               dropout_rng=jax.random.PRNGKey(i))
+               for i in range(24)) / 24
+    rel = float(jnp.abs(mean - clean).mean() / jnp.abs(clean).mean())
+    check("dropout mean-preserving", rel < 0.25, f"rel={rel:.3f}")
+    g_clean = jax.grad(lambda *a: (flash_attention(
+        *a, key_padding_mask=mask) ** 2).sum(), argnums=0)(q, k, v)
+    g_tiny = jax.grad(lambda *a: (flash_attention(
+        *a, key_padding_mask=mask, dropout_rate=1e-7,
+        dropout_rng=key) ** 2).sum(), argnums=0)(q, k, v)
+    err = float(jnp.abs(g_tiny - g_clean).max())
+    check("dropout rate→0 gradient limit", err < 1e-2, f"max_err={err:.2e}")
+
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
