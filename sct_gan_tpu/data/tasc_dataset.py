@@ -110,6 +110,25 @@ class TASCDataLoader:
             yield tasc_collate([self.dataset[int(i)] for i in sel])
 
 
+def load_hf_tasc_records(name: str = "jainabh/smart_contracts_malicious",
+                         split: str = "train",
+                         max_records: Optional[int] = None) -> List[Dict]:
+    """Load the reference's TASC dataset from HF datasets
+    (Binary-TASC-model/main.ipynb cell 3) when it is cached locally; raises
+    with a clear message offline (use `tasc_records_from_corpus` instead)."""
+    from datasets import load_dataset
+    ds = load_dataset(name, split=split)
+    out: List[Dict] = []
+    for i, row in enumerate(ds):
+        if max_records is not None and i >= max_records:
+            break
+        code = row.get("source_code") or row.get("code") or row.get("text")
+        label = row.get("malicious", row.get("label", 0))
+        if code:
+            out.append({"source_code": code, "malicious": int(label)})
+    return out
+
+
 def tasc_records_from_corpus(n: int = 16, seed: int = 0,
                              multiclass: bool = False) -> List[Dict]:
     """Synthetic TASC records: the framework's contract generator plus

@@ -70,6 +70,30 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return out
 
 
+def prefetch_to_device(batch_iter, mesh: Mesh, size: int = 2,
+                       prepare=None):
+    """Double-buffered host→device pipeline.
+
+    Keeps up to ``size`` batches in flight: batch i+1 is transformed on host
+    and its H2D transfer dispatched while the device executes the step on
+    batch i — the TPU-native replacement for the reference's synchronous
+    per-batch `.to(device)` copies (SCT-GAN/train.py:894-895).
+
+    ``prepare``: optional host-side transform (e.g. augmentation + padding)
+    applied before placement.
+    """
+    import collections
+    buf = collections.deque()
+    for batch in batch_iter:
+        if prepare is not None:
+            batch = prepare(batch)
+        buf.append(shard_batch(batch, mesh))   # async H2D dispatch
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 # -- model-parallel partition rules -----------------------------------------
 
 # Path-substring → PartitionSpec for the parameters worth sharding over mp.

@@ -358,17 +358,22 @@ class SmartContractTrainer:
         t0 = time.time()
         tokens = 0
 
-        for batch_idx, batch in enumerate(self.train_dataloader):
+        def prepare(batch):
             if self.use_augmentation:
                 batch = self._create_augmented_batch(batch)
-            batch = self._pad_to_dp(batch)
-            device_batch = shard_batch(batch, self.mesh)
+            return self._pad_to_dp(batch)
+
+        # double-buffered H2D pipeline: host prep + transfer of batch i+1
+        # overlap the device step on batch i (parallel/mesh.py)
+        from ..parallel.mesh import prefetch_to_device
+        for batch_idx, device_batch in enumerate(prefetch_to_device(
+                self.train_dataloader, self.mesh, prepare=prepare)):
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics, scalars = self.train_step(
                 self.state, device_batch, scalars, lrs, step_rng)
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
 
-            tokens += batch["input_ids"].size
+            tokens += device_batch["input_ids"].size
             # first-batch oscillation detection (train.py:1015-1041)
             if batch_idx == 0:
                 cur_mean = m["line_logits_mean"]
@@ -449,15 +454,24 @@ class SmartContractTrainer:
         return out
 
     # ------------------------------------------------------------------
-    def train(self, num_epochs: int, checkpoint_dir: str = "checkpoints"
-              ) -> Dict[str, List[float]]:
+    def train(self, num_epochs: int, checkpoint_dir: str = "checkpoints",
+              profile_dir: Optional[str] = None,
+              profile_epoch: int = 1) -> Dict[str, List[float]]:
+        """Run the training loop. ``profile_dir`` captures a jax.profiler
+        trace of one epoch (TensorBoard-loadable) — the observability the
+        reference lacks entirely (SURVEY §5.1)."""
         os.makedirs(checkpoint_dir, exist_ok=True)
         suffix = checkpoint_suffix(self.use_augmentation, self.use_gan)
 
         for epoch in range(num_epochs):
             self._log(f"\nEpoch {epoch + 1}/{num_epochs}")
             self.current_epoch = epoch
-            train_metrics = self.train_epoch(epoch)
+            if profile_dir is not None and epoch == profile_epoch:
+                from ..utils.profiling import trace_context
+                with trace_context(profile_dir):
+                    train_metrics = self.train_epoch(epoch)
+            else:
+                train_metrics = self.train_epoch(epoch)
             val_metrics = self.validate()
 
             h = self.training_history
