@@ -80,6 +80,9 @@ class TrainConfig:
     seed: int = 0
     # Parallelism: number of data-parallel shards (1 = single chip)
     dp_shards: int = 1
+    # TPU-native: hardware RBG PRNG for dropout keys (much cheaper than
+    # threefry on TPU; no reference equivalent — torch uses cuDNN states)
+    fast_rng: bool = True
 
 
 @dataclass(frozen=True)

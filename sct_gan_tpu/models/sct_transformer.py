@@ -370,7 +370,9 @@ class SmartContractTransformer(nn.Module):
                            deterministic=deterministic)
         out = self.output_norm(out)
         out = self.output_dropout(out, deterministic=deterministic)
-        return self.output_layer(out).astype(jnp.float32)
+        # stay in compute dtype: the (B, S, 50k) logits are 1.6 GB in f32 —
+        # consumers (CE, sampling) upcast per-tile inside fused kernels
+        return self.output_layer(out)
 
     # -- full training/eval forward ---------------------------------------------
     def __call__(self, input_ids, attention_mask=None, ast_input_ids=None,

@@ -89,7 +89,12 @@ class SmartContractTrainer:
         self._log = print if verbose else (lambda *a, **k: None)
 
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.rng = jax.random.PRNGKey(seed)
+        if cfg.fast_rng:
+            # typed key carrying the RBG impl (raw PRNGKey arrays would be
+            # reinterpreted as threefry by downstream consumers)
+            self.rng = jax.random.key(seed, impl="rbg")
+        else:
+            self.rng = jax.random.PRNGKey(seed)
         self._py_rng = random.Random(seed)
 
         # -- parameters ------------------------------------------------------
