@@ -428,6 +428,42 @@ class SmartContractAnalyzer:
         report["token_1_collapse"] = bool(top[0] == 1)
         return report
 
+    def debug_forward(self, contract_code: str) -> Dict[str, Any]:
+        """Debug-mode forward: per-stage mean/std/min/max of the line-head
+        pipeline (the reference's `_debug_mode` prints, model.py:205-206,
+        487-492, 609-855), collected via flax intermediates — detects dead
+        extractors and identical-line collapse without touching the
+        production path."""
+        batch = self._prepare_inputs([contract_code])
+        _, state = self.model.apply(
+            {"params": self.params},
+            input_ids=batch["input_ids"],
+            attention_mask=batch["attention_mask"],
+            ast_input_ids=batch["ast_input_ids"],
+            ast_attention_mask=batch["ast_attention_mask"],
+            target_ids=batch["input_ids"],
+            token_to_line=batch["token_to_line"],
+            deterministic=True, mutable=["intermediates"])
+        stats: Dict[str, Any] = {}
+        flat = jax.tree_util.tree_map(float, jax.device_get(
+            state.get("intermediates", {})))
+
+        def walk(node, prefix=""):
+            if isinstance(node, dict) and all(
+                    isinstance(v, float) for v in node.values()):
+                stats[prefix.rstrip("/")] = node
+            elif isinstance(node, dict):
+                for k, v in node.items():
+                    walk(v, prefix + k + "/")
+            elif isinstance(node, (tuple, list)):
+                for v in node:
+                    walk(v, prefix)
+        walk(flat)
+        # collapse detection (model.py:641-644, notebook diagnostics)
+        for name, s in stats.items():
+            s["collapsed"] = bool(s.get("std", 1.0) < 1e-6)
+        return stats
+
     def test_generation_simple(self, max_tokens: int = 64) -> Dict[str, Any]:
         """End-to-end generation smoke (inference.py:1022-1110)."""
         code = "pragma solidity ^0.8.0;\ncontract T { uint x; }"

@@ -247,6 +247,16 @@ class SmartContractTransformer(nn.Module):
         logits = self.contract_vulnerability_head(feats, deterministic)
         return logits.astype(jnp.float32), attn_weights
 
+    def _debug_sow(self, name, x):
+        """Per-stage range/std instrumentation (model.py:205-206, 487-492,
+        609-855 `_debug_mode` prints). Collected via flax 'intermediates':
+        model.apply(..., mutable=['intermediates']) returns the stats without
+        any recompile of the production path."""
+        x32 = x.astype(jnp.float32)
+        self.sow("intermediates", name, {
+            "mean": x32.mean(), "std": x32.std(),
+            "min": x32.min(), "max": x32.max()})
+
     def line_head(self, memory, token_to_line, deterministic: bool = True):
         """Line-level logits (B, max_lines, num_types) (model.py:478-759)."""
         cfg = self.config
@@ -255,6 +265,7 @@ class SmartContractTransformer(nn.Module):
         means, counts = line_segment_mean(
             memory, token_to_line, num_lines,
             compute_dtype=self._dtype)
+        self._debug_sow("line_means", means)
         # Global line count across the batch (reference uses
         # token_to_line.max()+1 over the whole batch tensor, model.py:484).
         global_max = jnp.max(token_to_line) + 1
@@ -277,6 +288,7 @@ class SmartContractTransformer(nn.Module):
                  * mask_f).sum() / denom
         collapsed = jnp.sqrt(var_v) < 1e-6
         feats = jnp.where(collapsed, original * 0.1, extracted)
+        self._debug_sow("line_extracted", feats)
 
         valid_b = jnp.broadcast_to(valid, (feats.shape[0], num_lines))
         attn1 = self.line_vuln_attention(
@@ -300,6 +312,7 @@ class SmartContractTransformer(nn.Module):
         # Zero logits beyond the true line count — parity with the reference's
         # zero-padding of stacked logits to 1024 (model.py:750-759).
         logits = jnp.where(valid[..., None], logits, 0.0)
+        self._debug_sow("line_logits", logits)
         return logits.astype(jnp.float32)
 
     def discriminator_forward(self, features, deterministic: bool = True):

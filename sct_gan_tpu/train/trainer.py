@@ -373,10 +373,16 @@ class SmartContractTrainer:
         from ..parallel.mesh import prefetch_to_device
         for batch_idx, device_batch in enumerate(prefetch_to_device(
                 self.train_dataloader, self.mesh, prepare=prepare)):
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.state, metrics, scalars = self.train_step(
-                self.state, device_batch, scalars, lrs, step_rng)
-            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            try:
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, metrics, scalars = self.train_step(
+                    self.state, device_batch, scalars, lrs, step_rng)
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            except Exception as e:
+                # per-batch resilience (train.py:887-890, 1342-1344): a bad
+                # batch is logged and skipped, never kills the epoch
+                self._log(f"Error in batch {batch_idx}: {e}")
+                continue
 
             tokens += device_batch["input_ids"].size
             # first-batch oscillation detection (train.py:1015-1041)

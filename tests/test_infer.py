@@ -164,3 +164,12 @@ def test_diagnostics(analyzer):
     diag = analyzer.diagnose_generation_model()
     assert "output_weight_std" in diag
     assert len(diag["first_step_top_tokens"]) == 5
+
+
+def test_debug_forward_intermediates(analyzer):
+    stats = analyzer.debug_forward(SAMPLE)
+    names = set(stats)
+    assert any("line_means" in n for n in names)
+    assert any("line_logits" in n for n in names)
+    for s in stats.values():
+        assert set(s) >= {"mean", "std", "min", "max", "collapsed"}
