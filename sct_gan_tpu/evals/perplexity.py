@@ -26,10 +26,13 @@ def _ce_sums(model, params, batch):
         target_ids=batch["input_ids"],
         token_to_line=batch["token_to_line"],
         deterministic=True)
-    logits = out["logits"].astype(jnp.float32)          # (B, S-1, V)
+    logits = out["logits"]                               # (B, S-1, V)
     targets = out["target_ids"]                          # (B, S-1)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    # materialization-free nll (see losses/syntax.py::cross_entropy_loss)
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logits, targets[..., None],
+                                 axis=-1)[..., 0].astype(jnp.float32)
+    nll = lse - picked
     mask = (targets != 0).astype(jnp.float32)            # ignore padding
     return (nll * mask).sum(), mask.sum(), nll.sum(), jnp.float32(nll.size)
 

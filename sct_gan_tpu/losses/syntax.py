@@ -91,12 +91,17 @@ class SyntaxLossTables:
 def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """Mean token cross-entropy. Parity with F.cross_entropy(..., mean)
     over all positions — the reference does NOT ignore padding
-    (train.py:324)."""
-    logits = logits.reshape(-1, logits.shape[-1])
-    targets = targets.reshape(-1)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
-    return nll.mean()
+    (train.py:324).
+
+    nll_i = logsumexp(logits_i) − logits_i[target_i], computed WITHOUT
+    reshaping or materializing an f32 (B·S, V) array: on a 50k vocab the
+    reshape alone forces a 1.6 GB layout copy (profiled at ~18 ms/step) and
+    log_softmax another full-size temp. Here the only (…, V)-sized pass is
+    the f32 logsumexp reduction, fused by XLA over the bf16 logits."""
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logits, targets[..., None],
+                                 axis=-1)[..., 0].astype(jnp.float32)
+    return (lse - picked).mean()
 
 
 def _window_has(token_match: jnp.ndarray, window: int) -> jnp.ndarray:
