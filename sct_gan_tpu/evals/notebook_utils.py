@@ -34,6 +34,9 @@ __all__ = [
     "print_analysis_summary", "debug_line_predictions",
     "check_model_line_predictions", "diagnose_line_detection_issues",
     "debug_model_issues", "collect_validation_results_simple",
+    "analyze_vulnerable_contracts", "analyze_vulnerable_line_probabilities",
+    "print_probability_analysis", "print_line_vulnerability_summary",
+    "print_simplified_validation_summary",
 ]
 
 
@@ -208,3 +211,139 @@ def debug_model_issues(analyzer, sample_contract: Optional[str] = None
         diagnostics["sample_all_high"] = bool((cp > 0.9).all())
         diagnostics["sample_all_low"] = bool((cp < 0.1).all())
     return diagnostics
+
+
+def analyze_vulnerable_contracts(validation_results: Dict[str, Any],
+                                 metrics: Optional[Dict[str, Any]] = None,
+                                 top_k: int = 10) -> Dict[str, Any]:
+    """Top-k most-vulnerable contracts + generation-quality report
+    (notebook_utils.py:865-954). Vulnerability score = sum of predicted
+    per-type probabilities."""
+    cl = validation_results["contract_level"]
+    contract_true = np.stack(cl["true_labels"])
+    contract_probs = np.stack(cl["predicted_probs"])
+    scores = contract_probs.sum(axis=1)
+    top_idx = np.argsort(scores)[-top_k:][::-1]
+    vuln_types = validation_results["metadata"]["vulnerability_types"]
+
+    analysis: Dict[str, Any] = {
+        "top_vulnerable_contracts": [],
+        "vulnerability_distribution": {vt: int(contract_true[:, j].sum())
+                                       for j, vt in enumerate(vuln_types)},
+        "generation_quality": {"successful_generations": 0,
+                               "failed_generations": 0,
+                               "avg_generated_length": 0.0},
+    }
+    lengths = []
+    for rank, idx in enumerate(top_idx, 1):
+        generated = cl["generated_codes"][idx]
+        ok = generated is not None and generated != "Generation failed"
+        if ok:
+            analysis["generation_quality"]["successful_generations"] += 1
+            lengths.append(len(generated))
+        else:
+            analysis["generation_quality"]["failed_generations"] += 1
+        analysis["top_vulnerable_contracts"].append({
+            "rank": rank,
+            "contract_name": cl["contract_names"][idx],
+            "vulnerability_score": float(scores[idx]),
+            "true_vulnerabilities": [vt for j, vt in enumerate(vuln_types)
+                                     if contract_true[idx, j]],
+            "predicted_probabilities": {
+                vt: float(contract_probs[idx, j])
+                for j, vt in enumerate(vuln_types)},
+            "generation_success": ok,
+        })
+    if lengths:
+        analysis["generation_quality"]["avg_generated_length"] = (
+            sum(lengths) / len(lengths))
+    return analysis
+
+
+def analyze_vulnerable_line_probabilities(
+        validation_results: Dict[str, Any]) -> Dict[str, Any]:
+    """Probability statistics over true-vulnerable lines
+    (notebook_utils.py:1573-1675): per-type and overall means plus a
+    high/medium/low confidence histogram."""
+    ll = validation_results.get("line_level")
+    if not ll:
+        return {}
+    vuln_types = validation_results["metadata"]["vulnerability_types"]
+    true = np.stack([np.asarray(t) for t in ll["true_labels"]])
+    probs = np.stack([np.asarray(p) for p in ll["predicted_probs"]])
+
+    analysis: Dict[str, Any] = {
+        "per_vulnerability_type": {},
+        "overall_stats": {
+            "total_vulnerable_lines": int((true > 0).sum()),
+            "mean_probability_vulnerable_lines": 0.0,
+            "mean_probability_all_lines": float(probs.mean()),
+            "probability_distribution": {"high_confidence": 0,
+                                         "medium_confidence": 0,
+                                         "low_confidence": 0},
+        },
+    }
+    vuln_probs_all = probs[true > 0]
+    if vuln_probs_all.size:
+        analysis["overall_stats"]["mean_probability_vulnerable_lines"] = (
+            float(vuln_probs_all.mean()))
+        dist = analysis["overall_stats"]["probability_distribution"]
+        dist["high_confidence"] = int((vuln_probs_all > 0.8).sum())
+        dist["medium_confidence"] = int(
+            ((vuln_probs_all > 0.5) & (vuln_probs_all <= 0.8)).sum())
+        dist["low_confidence"] = int((vuln_probs_all <= 0.5).sum())
+    for j, vt in enumerate(vuln_types):
+        sel = probs[:, j][true[:, j] > 0]
+        analysis["per_vulnerability_type"][vt] = {
+            "vulnerable_lines": int((true[:, j] > 0).sum()),
+            "mean_probability": float(sel.mean()) if sel.size else 0.0,
+            "max_probability": float(sel.max()) if sel.size else 0.0,
+        }
+    return analysis
+
+
+def print_probability_analysis(analysis: Dict[str, Any]) -> None:
+    """Printer for analyze_vulnerable_line_probabilities
+    (notebook_utils.py:1677-1714)."""
+    o = analysis.get("overall_stats", {})
+    print(f"Vulnerable lines: {o.get('total_vulnerable_lines', 0)}")
+    print(f"Mean prob (vulnerable): "
+          f"{o.get('mean_probability_vulnerable_lines', 0.0):.4f}")
+    print(f"Mean prob (all):        "
+          f"{o.get('mean_probability_all_lines', 0.0):.4f}")
+    d = o.get("probability_distribution", {})
+    print(f"Confidence: high {d.get('high_confidence', 0)}, "
+          f"medium {d.get('medium_confidence', 0)}, "
+          f"low {d.get('low_confidence', 0)}")
+    for vt, s in analysis.get("per_vulnerability_type", {}).items():
+        if s["vulnerable_lines"]:
+            print(f"  {vt:>10}: {s['vulnerable_lines']:4d} lines, "
+                  f"mean {s['mean_probability']:.4f}, "
+                  f"max {s['max_probability']:.4f}")
+
+
+def print_line_vulnerability_summary(analysis: Dict[str, Any]) -> None:
+    """Printer for analyze_line_vulnerability_detection
+    (notebook_utils.py:1445-1492)."""
+    t = analysis["totals"]
+    print(f"TP {t['true_positives']}  FP {t['false_positives']}  "
+          f"FN {t['false_negatives']}")
+    for vt, s in analysis["per_vulnerability"].items():
+        if s["true_positives"] + s["false_positives"] + s["false_negatives"]:
+            print(f"  {vt:>10}: P={s['precision']:.3f} R={s['recall']:.3f} "
+                  f"F1={s['f1']:.3f} (TP {s['true_positives']} "
+                  f"FP {s['false_positives']} FN {s['false_negatives']})")
+
+
+def print_simplified_validation_summary(validation_results: Dict[str, Any]
+                                        ) -> None:
+    """Contract-only summary printer (notebook_utils.py:744-777)."""
+    meta = validation_results["metadata"]
+    print(f"Contracts: {meta['total_contracts']}, "
+          f"lines: {meta['total_lines']}, "
+          f"time: {meta['processing_time']:.2f}s")
+    cm = compute_contract_level_metrics(validation_results)
+    o = cm["overall"]
+    print(f"Contract metrics: acc={o['accuracy']:.4f} "
+          f"P={o['precision']:.4f} R={o['recall']:.4f} "
+          f"F1={o['f1_score']:.4f}")

@@ -133,3 +133,21 @@ def test_compute_perplexity(eval_setup):
     assert res["perplexity"] > 1.0
     assert res["tokens"] > 0
     assert res["cross_entropy"] > 0
+
+
+def test_notebook_utils_analysis_helpers(eval_setup, capsys):
+    from sct_gan_tpu.evals import notebook_utils as nbu
+    analyzer, loader = eval_setup
+    vr = nbu.collect_validation_results(analyzer, loader, max_contracts=4,
+                                        generate_contracts=False)
+    top = nbu.analyze_vulnerable_contracts(vr, top_k=3)
+    assert len(top["top_vulnerable_contracts"]) == 3
+    assert top["top_vulnerable_contracts"][0]["rank"] == 1
+    probs = nbu.analyze_vulnerable_line_probabilities(vr)
+    assert "overall_stats" in probs and "per_vulnerability_type" in probs
+    nbu.print_probability_analysis(probs)
+    det = nbu.analyze_line_vulnerability_detection(vr)
+    nbu.print_line_vulnerability_summary(det)
+    nbu.print_simplified_validation_summary(vr)
+    out = capsys.readouterr().out
+    assert "Contract metrics" in out
