@@ -147,6 +147,10 @@ class SmartContractTrainer:
             factor=cfg.plateau_factor, patience=cfg.plateau_patience,
             min_lr=cfg.plateau_min_lr)
 
+        # static batch target: all batches pad up to the loader's batch size
+        # so the step executable compiles exactly once
+        self._static_batch = getattr(train_dataloader, "batch_size", 0) or 0
+
         # -- augmentation ---------------------------------------------------
         self.augmenter = (SmartContractAugmenter(
             getattr(tokenizer, "name_or_path", "tokenizer"),
@@ -336,12 +340,18 @@ class SmartContractTrainer:
         }
 
     def _pad_to_dp(self, batch: Dict) -> Dict:
-        """Pad the batch to a multiple of the dp axis so sharding is exact."""
+        """Pad every batch to ONE static size (the max batch size seen,
+        rounded to a dp multiple): ragged tail batches would otherwise
+        trigger a full XLA recompile per distinct size (~minutes each on the
+        remote compiler)."""
         dp = self.mesh.shape.get("dp", 1)
         b = batch["input_ids"].shape[0]
-        if b % dp == 0:
+        target = max(getattr(self, "_static_batch", 0),
+                     dp * math.ceil(b / dp))
+        self._static_batch = target
+        if b == target:
             return batch
-        pad = dp * math.ceil(b / dp) - b
+        pad = target - b
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
