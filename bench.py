@@ -118,6 +118,8 @@ def time_step(trainer, batch, n_small: int = 2, n_large: int = 10) -> float:
 
 
 def main() -> None:
+    from sct_gan_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     batch_size, seq = 8, 1024
     tokens_per_step = batch_size * seq
 

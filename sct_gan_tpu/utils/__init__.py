@@ -1,3 +1,5 @@
-from .profiling import StepTimer, MetricsLogger, trace_context
+from .profiling import (StepTimer, MetricsLogger, trace_context,
+                        enable_compilation_cache)
 
-__all__ = ["StepTimer", "MetricsLogger", "trace_context"]
+__all__ = ["StepTimer", "MetricsLogger", "trace_context",
+           "enable_compilation_cache"]
