@@ -99,9 +99,11 @@ def time_step(trainer, batch, n_small: int = 2, n_large: int = 10) -> float:
         _ = np.asarray(metrics["total_loss"])
         return time.perf_counter() - t0, state
 
-    # compile + queue warmup
-    _, state = run(1, trainer.state, jax.random.PRNGKey(0))
-    _, state = run(1, state, jax.random.PRNGKey(1))
+    # compile + queue warmup (RBG keys, like the trainer's fast_rng path —
+    # threefry dropout masks alone cost ~25 ms/step at this size)
+    key = lambda i: jax.random.key(i, impl="rbg")
+    _, state = run(1, trainer.state, key(0))
+    _, state = run(1, state, key(1))
     # fixed D2H round-trip latency (subtracted from the chained measurement)
     import jax.numpy as jnp
     tiny = jnp.zeros((8,))
@@ -112,7 +114,7 @@ def time_step(trainer, batch, n_small: int = 2, n_large: int = 10) -> float:
         null = min(null, time.perf_counter() - t0)
     best = float("inf")
     for rep in range(2):
-        t_chain, state = run(n_large, state, jax.random.PRNGKey(10 + rep))
+        t_chain, state = run(n_large, state, key(10 + rep))
         best = min(best, max(t_chain - null, 1e-9) / n_large)
     return best
 
