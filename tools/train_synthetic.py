@@ -1,0 +1,123 @@
+"""Train a real full-size checkpoint on the synthetic corpus and publish
+detection / perplexity metrics against BASELINE.md's evaluation protocol.
+
+The reference's Etherscan CSV is private, so a like-for-like rerun is
+impossible; this drives the EXACT same pipeline (GAN + augmentation training
+→ best-checkpoint restore → per-type-threshold comprehensive eval → JSON) on
+the hermetic synthetic corpus with known vulnerable lines (data/synthetic.py).
+
+Usage:
+    python tools/train_synthetic.py --contracts 200 --epochs 30 \
+        --out /tmp/sct_run
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--contracts", type=int, default=200)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument("--out", default="/tmp/sct_run")
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--no-aug", action="store_true")
+    ap.add_argument("--max-eval", type=int, default=None)
+    args = ap.parse_args()
+
+    from sct_gan_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+
+    import jax
+    from sct_gan_tpu.config import ModelConfig, TrainConfig
+    from sct_gan_tpu.data.dataset import create_dataloaders
+    from sct_gan_tpu.data.synthetic import write_corpus_csv
+    from sct_gan_tpu.data.tokenizer import SolidityTokenizer
+    from sct_gan_tpu.models.sct_transformer import SmartContractTransformer
+    from sct_gan_tpu.parallel.mesh import make_mesh
+    from sct_gan_tpu.train import SmartContractTrainer
+
+    os.makedirs(args.out, exist_ok=True)
+    csv_path = os.path.join(args.out, "corpus.csv")
+    write_corpus_csv(csv_path, n=args.contracts, seed=0)
+    print(f"corpus: {args.contracts} contracts -> {csv_path}", flush=True)
+
+    cfg = ModelConfig(use_gan=True, max_length=args.seq, max_lines=args.seq)
+    tok = SolidityTokenizer(vocab_size=cfg.vocab_size)
+    train_loader, val_loader = create_dataloaders(
+        csv_path, tokenizer=tok, batch_size=args.batch_size,
+        max_length=args.seq)
+    model = SmartContractTransformer(cfg)
+    mesh = make_mesh(dp=1, mp=1, devices=jax.devices()[:1])
+    trainer = SmartContractTrainer(
+        model, train_loader, val_loader, tok,
+        config=TrainConfig(learning_rate=args.lr, use_gan=True,
+                           use_augmentation=not args.no_aug,
+                           warmup_epochs=5),
+        mesh=mesh, verbose=True)
+
+    ckpt_dir = os.path.join(args.out, "checkpoints")
+    t0 = time.time()
+    history = trainer.train(args.epochs, checkpoint_dir=ckpt_dir)
+    train_secs = time.time() - t0
+    print(f"training done in {train_secs/60:.1f} min", flush=True)
+
+    # -- best checkpoint -> comprehensive eval ------------------------------
+    import glob
+    bests = sorted(glob.glob(os.path.join(ckpt_dir, "best_model*")),
+                   key=os.path.getmtime)
+    ckpt = bests[-1] if bests else os.path.join(
+        ckpt_dir, "latest_model_augmented_gan")
+    print(f"evaluating checkpoint {ckpt}", flush=True)
+
+    from sct_gan_tpu.evals.harness import (BASELINE_CONTRACT_THRESHOLDS,
+                                           BASELINE_LINE_THRESHOLDS,
+                                           evaluate_model_performance,
+                                           print_evaluation_summary)
+    from sct_gan_tpu.infer.analyzer import SmartContractAnalyzer
+
+    analyzer = SmartContractAnalyzer(model_path=ckpt, use_gan=True,
+                                     tokenizer=tok, model_config=cfg,
+                                     verbose=False)
+    results = evaluate_model_performance(
+        model_path=ckpt, val_dataloader=val_loader,
+        contract_thresholds=BASELINE_CONTRACT_THRESHOLDS,
+        line_thresholds=BASELINE_LINE_THRESHOLDS,
+        max_contracts=args.max_eval,
+        output_file=os.path.join(args.out, "evaluation_results.json"),
+        analyzer=analyzer)
+    print_evaluation_summary(results)
+
+    # -- teacher-forced perplexity ------------------------------------------
+    from sct_gan_tpu.evals.perplexity import compute_perplexity
+    ppl = compute_perplexity(analyzer.model, analyzer.params, val_loader)
+    print(f"validation perplexity: {ppl['perplexity']:.2f} "
+          f"(CE {ppl['cross_entropy']:.3f})", flush=True)
+
+    summary = {
+        "contracts": args.contracts,
+        "epochs_requested": args.epochs,
+        "epochs_run": len(history["train_loss"]),
+        "train_minutes": round(train_secs / 60, 2),
+        "final_train_loss": history["train_loss"][-1],
+        "best_val_loss": min(history["val_loss"]),
+        "perplexity": ppl,
+        "contract_overall": results["contract_level"]["overall"],
+        "line_overall": results["line_level"]["overall"],
+        "checkpoint": ckpt,
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
