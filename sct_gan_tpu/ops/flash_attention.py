@@ -26,6 +26,12 @@ softmax-backward identity: Σ_k W_ik dW_ik = dO_i·O_i = D_i still holds.)
 TPU layout notes: per-row statistics (lse, D) are carried in lane-broadcast
 (…, S, 128) buffers — a (1, 1, BQ) block of a (B, H, S) array violates the
 (8, 128) minimum tile, a (…, BQ, 128) block doesn't.
+
+Precision: every matmul keeps its operands in the INPUT dtype (bf16 from the
+QKV projections) with f32 MXU accumulation (`preferred_element_type`) —
+upcasting operands to f32 would cut the MXU rate ~4× and double VMEM/HBM
+traffic. All softmax statistics (m, l, lse, D) and the dS/dP intermediates
+stay f32; dS/P are cast back to bf16 only as matmul operands.
 """
 from __future__ import annotations
 
@@ -70,14 +76,17 @@ def _fa_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     hi = pl.program_id(1)
     qi = pl.program_id(2)
     nk = sk_padded // bk
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # (BQ, Dp)
+    # matmuls stay in the input dtype (bf16 from the projections) with f32
+    # MXU accumulation — upcasting inputs to f32 would quarter the MXU rate;
+    # all softmax statistics remain f32.
+    q = q_ref[0, 0]                                      # (BQ, Dp)
     num_kv_blocks = sk_padded // bk
     upper = qi + 1 if causal else num_kv_blocks
 
     def body(j, carry):
         m, l, acc = carry
-        k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+        k = k_ref[0, 0, pl.ds(j * bk, bk), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         s = s + bias_ref[0, :, pl.ds(j * bk, bk)]   # (1, BK) broadcast
         if causal:
             rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
@@ -184,17 +193,18 @@ def _fa_dkv_kernel(seed_ref, q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref,
     hi = pl.program_id(1)
     kj = pl.program_id(2)
     nq = sq_padded // bq
-    k = k_ref[0, 0].astype(jnp.float32)                   # (BK, Dp)
-    v = v_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0]                                       # (BK, Dp) bf16
+    v = v_ref[0, 0]
     bias_col = bias_ref[0, :, pl.ds(kj * bk, bk)]         # (1, BK)
     num_q_blocks = sq_padded // bq
     lower = kj if causal else 0
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+    mm_dtype = k.dtype  # bf16 matmul operands, f32 MXU accumulation
 
     def body(qi, carry):
         dk, dv = carry
-        q = q_ref[0, 0, pl.ds(qi * bq, bq), :].astype(jnp.float32)
-        do = do_ref[0, 0, pl.ds(qi * bq, bq), :].astype(jnp.float32)
+        q = q_ref[0, 0, pl.ds(qi * bq, bq), :]
+        do = do_ref[0, 0, pl.ds(qi * bq, bq), :]
         lse = lse_ref[0, 0, pl.ds(qi * bq, bq), 0]        # (BQ,)
         dvec = d_ref[0, 0, pl.ds(qi * bq, bq), 0]         # (BQ,)
         # sT: (BK, BQ) scores transposed
@@ -217,8 +227,9 @@ def _fa_dkv_kernel(seed_ref, q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref,
             dpT = dpT * keepT
         else:
             pT_drop = pT
-        dv = dv + jnp.dot(pT_drop, do, preferred_element_type=jnp.float32)
-        dsT = pT * (dpT - dvec[None, :])
+        dv = dv + jnp.dot(pT_drop.astype(mm_dtype), do,
+                          preferred_element_type=jnp.float32)
+        dsT = (pT * (dpT - dvec[None, :])).astype(mm_dtype)
         dk = dk + jnp.dot(dsT, q, preferred_element_type=jnp.float32) * scale
         return dk, dv
 
@@ -235,17 +246,18 @@ def _fa_dq_kernel(seed_ref, k_ref, v_ref, bias_ref, q_ref, do_ref, lse_ref,
     hi = pl.program_id(1)
     qi = pl.program_id(2)
     nk = sk_padded // bk
-    q = q_ref[0, 0].astype(jnp.float32)                   # (BQ, Dp)
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]                                       # (BQ, Dp) bf16
+    do = do_ref[0, 0]
     lse = lse_ref[0, 0, :, 0]                             # (BQ,)
     dvec = d_ref[0, 0, :, 0]
     num_kv_blocks = sk_padded // bk
     upper = qi + 1 if causal else num_kv_blocks
     inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
+    mm_dtype = q.dtype  # bf16 matmul operands, f32 MXU accumulation
 
     def body(j, dq):
-        k = k_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(j * bk, bk), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(j * bk, bk), :]
+        v = v_ref[0, 0, pl.ds(j * bk, bk), :]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         s = s + bias_ref[0, :, pl.ds(j * bk, bk)]
         if causal:
@@ -260,7 +272,7 @@ def _fa_dq_kernel(seed_ref, k_ref, v_ref, bias_ref, q_ref, do_ref, lse_ref,
                               _tile_index(bi, hi, qi, j, nh, nq, nk),
                               bq, bk, dropout_rate)
             dp = jnp.where(keep, dp * inv_keep, 0.0)
-        ds = p * (dp - dvec[:, None])
+        ds = (p * (dp - dvec[:, None])).astype(mm_dtype)
         return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
 
     dq = jax.lax.fori_loop(0, upper, body,
@@ -282,10 +294,13 @@ def _flash_backward(res, g, seed, causal, block_q, block_k, dropout_rate):
     scale = 1.0 / (dh ** 0.5)
     seed2d = seed.reshape(1, 1).astype(jnp.int32)
 
-    do = jnp.pad(g.astype(jnp.float32),
+    # dO stays in the compute dtype (bf16): the kernels' matmuls want bf16
+    # operands for full MXU rate; the D statistic alone is computed in f32.
+    do = jnp.pad(g.astype(qp.dtype),
                  ((0, 0), (0, 0), (0, sqp - sq), (0, dp - dh)))
     # D = rowsum(dO ∘ O), lane-broadcast to (…, 128)
-    dvec = jnp.sum(do * out_p.astype(jnp.float32), axis=-1)      # (B,H,Sqp)
+    dvec = jnp.sum(do.astype(jnp.float32) * out_p.astype(jnp.float32),
+                   axis=-1)                                      # (B,H,Sqp)
     dvec = jnp.broadcast_to(dvec[..., None], (b, h, sqp, 128))
 
     seed_spec = pl.BlockSpec((1, 1), lambda b_, h_, i: (0, 0),
@@ -314,8 +329,8 @@ def _flash_backward(res, g, seed, causal, block_q, block_k, dropout_rate):
         in_specs=[seed_spec, full_q(dp), full_q(dp), full_q(128), full_q(128),
                   blk_k(dp), blk_k(dp), bias_spec],
         out_specs=(blk_k(dp), blk_k(dp)),
-        out_shape=(jax.ShapeDtypeStruct((b, h, skp, dp), jnp.float32),
-                   jax.ShapeDtypeStruct((b, h, skp, dp), jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((b, h, skp, dp), qp.dtype),
+                   jax.ShapeDtypeStruct((b, h, skp, dp), qp.dtype)),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * h * sqp * skp * dp,
             bytes_accessed=(2 * qp.size + kpad.size + vpad.size) * 4,
@@ -331,7 +346,7 @@ def _flash_backward(res, g, seed, causal, block_q, block_k, dropout_rate):
         in_specs=[seed_spec, full_k(dp), full_k(dp), bias_spec,
                   blk_q(dp), blk_q(dp), blk_q(128), blk_q(128)],
         out_specs=blk_q(dp),
-        out_shape=jax.ShapeDtypeStruct((b, h, sqp, dp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, h, sqp, dp), qp.dtype),
         cost_estimate=pl.CostEstimate(
             flops=6 * b * h * sqp * skp * dp,
             bytes_accessed=(2 * qp.size + kpad.size + vpad.size) * 4,

@@ -52,43 +52,55 @@ def run_trace(logdir: str, steps: int) -> None:
 
 
 def parse_xplane(logdir: str, topk: int = 40) -> None:
-    """Aggregate device-plane event self-times from the newest xplane.pb."""
-    from xprof.convert import _pywrap_profiler_plugin  # noqa: F401 (ensures ext ok)
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    """Aggregate device op self-times from the newest trace.json.gz dump."""
+    import gzip
+    import json as _json
 
-    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                              recursive=True), key=os.path.getmtime)
     if not paths:
-        print("no xplane.pb found under", logdir)
+        print("no trace.json.gz found under", logdir)
         return
     path = paths[-1]
-    xspace = xplane_pb2.XSpace()
-    with open(path, "rb") as f:
-        xspace.ParseFromString(f.read())
+    with gzip.open(path, "rt") as f:
+        trace = _json.load(f)
+    events = trace.get("traceEvents", [])
+
+    # Map pid/tid → names, so device threads can be separated from host.
+    pid_names: dict = {}
+    tid_names: dict = {}
+    for ev in events:
+        if ev.get("ph") == "M":
+            if ev.get("name") == "process_name":
+                pid_names[ev["pid"]] = ev["args"].get("name", "")
+            elif ev.get("name") == "thread_name":
+                tid_names[(ev["pid"], ev.get("tid"))] = ev["args"].get(
+                    "name", "")
+
+    groups: dict = {}
+    for ev in events:
+        if ev.get("ph") != "X" or "dur" not in ev:
+            continue
+        pname = pid_names.get(ev.get("pid"), "")
+        tname = tid_names.get((ev.get("pid"), ev.get("tid")), "")
+        key = f"{pname}/{tname}"
+        g = groups.setdefault(key, {"totals": {}, "counts": {}, "span": 0.0})
+        name = ev.get("name", "?")
+        dur = ev["dur"] / 1e3  # µs → ms
+        g["totals"][name] = g["totals"].get(name, 0.0) + dur
+        g["counts"][name] = g["counts"].get(name, 0) + 1
+        g["span"] += dur
 
     print(f"== {path}")
-    for plane in xspace.planes:
-        is_device = ("TPU" in plane.name or "/device" in plane.name.lower()
-                     or plane.name.startswith("/device"))
-        if not is_device:
+    for key, g in sorted(groups.items(), key=lambda kv: -kv[1]["span"]):
+        host_like = any(s in key.lower()
+                        for s in ("python", "main", "plugin", "thread pool"))
+        if host_like and len(groups) > 1:
             continue
-        ev_names = {i: m.name for i, m in plane.event_metadata.items()}
-        totals: dict[str, float] = {}
-        counts: dict[str, int] = {}
-        plane_span = 0.0
-        for line in plane.lines:
-            for ev in line.events:
-                name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
-                dur = ev.duration_ps / 1e9  # ms
-                totals[name] = totals.get(name, 0.0) + dur
-                counts[name] = counts.get(name, 0) + 1
-                plane_span += dur
-        if not totals:
-            continue
-        print(f"\n-- plane: {plane.name}  (sum of events {plane_span:.2f} ms "
-              f"across {len(plane.lines)} lines)")
-        for name, t in sorted(totals.items(), key=lambda kv: -kv[1])[:topk]:
-            print(f"  {t:10.3f} ms  x{counts[name]:<5d} {name[:140]}")
+        print(f"\n-- {key}  (sum {g['span']:.2f} ms, "
+              f"{len(g['totals'])} distinct ops)")
+        for name, t in sorted(g["totals"].items(), key=lambda kv: -kv[1])[:topk]:
+            print(f"  {t:10.3f} ms  x{g['counts'][name]:<6d} {name[:130]}")
 
 
 def main() -> None:

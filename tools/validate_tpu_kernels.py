@@ -64,6 +64,34 @@ def main() -> int:
         check(f"bwd b{b} h{h} s{s} causal={causal}", err < 5e-2,
               f"max_err={err:.2e}")
 
+    # bf16 operands (the production path: projections emit bf16; kernels keep
+    # bf16 matmul operands with f32 accumulation)
+    for (b, h, s, dh, causal) in [(2, 8, 1024, 96, False),
+                                  (2, 8, 1024, 96, True)]:
+        q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.bfloat16)
+        mask = jnp.asarray(rng.random((b, s)) > 0.2)
+        of = flash_attention(q, k, v, key_padding_mask=mask, causal=causal)
+        orf = mha_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                            v.astype(jnp.float32), key_padding_mask=mask,
+                            causal=causal)
+        err = float(jnp.abs(of.astype(jnp.float32) - orf).max())
+        check(f"fwd bf16 s{s} dh{dh} causal={causal}", err < 5e-2,
+              f"max_err={err:.2e}")
+        w = jnp.asarray(rng.standard_normal(of.shape), jnp.float32)
+        gf = jax.grad(lambda *a: jnp.sum(flash_attention(
+            *a, key_padding_mask=mask, causal=causal).astype(jnp.float32)
+            * w), argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda *a: jnp.sum(mha_reference(
+            *a, key_padding_mask=mask, causal=causal) * w),
+            argnums=(0, 1, 2))(q.astype(jnp.float32), k.astype(jnp.float32),
+                               v.astype(jnp.float32))
+        err = max(float(jnp.abs(a.astype(jnp.float32) - b_).max())
+                  for a, b_ in zip(gf, gr))
+        check(f"bwd bf16 s{s} dh{dh} causal={causal}", err < 2e-1,
+              f"max_err={err:.2e}")
+
     # dropout behavior
     b, h, s, dh = 2, 4, 256, 64
     q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
