@@ -104,7 +104,14 @@ class SmartContractVulnerabilityDataset:
 
     def _process_row(self, row: Dict) -> Dict:
         source_code = row["source_code"]
+        # empty CSV cells round-trip through pandas as NaN floats
+        if not isinstance(source_code, str):
+            source_code = "" if source_code is None or (
+                isinstance(source_code, float) and math.isnan(source_code)
+            ) else str(source_code)
         contract_name = row.get("contract_name", "Unknown")
+        if not isinstance(contract_name, str):
+            contract_name = "Unknown"
 
         ast = parse_solidity_to_ast(source_code)
         ast_paths = prepare_code2vec_input(ast) if ast else []

@@ -113,12 +113,23 @@ _MP_RULES = (
 )
 
 
-def param_partition_spec(path: str, value) -> P:
-    """PartitionSpec for one parameter, by flattened path substring."""
+def param_partition_spec(path: str, value, mesh: Optional[Mesh] = None) -> P:
+    """PartitionSpec for one parameter, by flattened path substring.
+
+    A rule only applies when every named axis divides the corresponding
+    parameter dimension (e.g. the 50265-token vocab axis is NOT divisible by
+    mp=2 — such parameters fall back to replication instead of crashing)."""
     for substr, spec in _MP_RULES:
         if substr in path:
-            if value.ndim == len(spec):
-                return spec
+            if value.ndim != len(spec):
+                continue
+            if mesh is not None:
+                ok = all(axis is None
+                         or value.shape[i] % mesh.shape.get(axis, 1) == 0
+                         for i, axis in enumerate(spec))
+                if not ok:
+                    continue
+            return spec
     return P()
 
 
@@ -141,7 +152,7 @@ def shard_params(params, mesh: Mesh):
     correct single-chip / pure-DP placement.
     """
     def place(key_path, value):
-        spec = param_partition_spec(_flat_path(key_path), value)
+        spec = param_partition_spec(_flat_path(key_path), value, mesh)
         if mesh.shape.get("mp", 1) == 1:
             spec = P()
         return jax.device_put(value, NamedSharding(mesh, spec))
