@@ -107,7 +107,19 @@ _MP_RULES = (
     # FFN: linear1 shards the hidden axis (column parallel), linear2 the
     # same axis on its input side (row parallel) → one psum per FFN.
     ("ffn/linear1/kernel", P(None, "mp")),
+    ("ffn/linear1/bias", P("mp")),
     ("ffn/linear2/kernel", P("mp", None)),
+    # Attention, Megatron-style: q/k/v column parallel over the head axis
+    # (heads are contiguous in the d_model layout, so sharding the output
+    # feature axis by mp keeps whole heads per shard when nhead % mp == 0),
+    # out_proj row parallel → one psum per attention module.
+    ("q_proj/kernel", P(None, "mp")),
+    ("q_proj/bias", P("mp")),
+    ("k_proj/kernel", P(None, "mp")),
+    ("k_proj/bias", P("mp")),
+    ("v_proj/kernel", P(None, "mp")),
+    ("v_proj/bias", P("mp")),
+    ("out_proj/kernel", P("mp", None)),
     # LM head over the 50k vocab: column parallel.
     ("output_layer/kernel", P(None, "mp")),
 )
