@@ -378,23 +378,16 @@ class SmartContractTrainer:
                 batch = self._create_augmented_batch(batch)
             return self._pad_to_dp(batch)
 
-        # double-buffered H2D pipeline: host prep + transfer of batch i+1
-        # overlap the device step on batch i (parallel/mesh.py)
-        from ..parallel.mesh import prefetch_to_device
-        for batch_idx, device_batch in enumerate(prefetch_to_device(
-                self.train_dataloader, self.mesh, prepare=prepare)):
+        def process(batch_idx: int, metrics, ntokens: int):
+            """Host-side bookkeeping for one step's metrics (may run one
+            batch late — see the pipelining note below)."""
+            nonlocal scalars, batch_count, last, tokens
             try:
-                self.rng, step_rng = jax.random.split(self.rng)
-                self.state, metrics, scalars = self.train_step(
-                    self.state, device_batch, scalars, lrs, step_rng)
                 m = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            except Exception as e:
-                # per-batch resilience (train.py:887-890, 1342-1344): a bad
-                # batch is logged and skipped, never kills the epoch
+            except Exception as e:   # per-batch resilience (train.py:1342)
                 self._log(f"Error in batch {batch_idx}: {e}")
-                continue
-
-            tokens += device_batch["input_ids"].size
+                return
+            tokens += ntokens
             # first-batch oscillation detection (train.py:1015-1041)
             if batch_idx == 0:
                 cur_mean = m["line_logits_mean"]
@@ -433,6 +426,36 @@ class SmartContractTrainer:
             batch_count += 1
             last = m
 
+        # Pipelined control loop: the metrics fetch for batch i happens only
+        # AFTER batch i+1's step is dispatched, so the device never idles
+        # while the host runs augmentation/tokenization for the next batch.
+        # Batch 0 is fetched synchronously — its metrics drive the
+        # oscillation intervention that must apply from batch 1
+        # (train.py:1015-1041 ordering). The per-batch focal retune needs no
+        # fetch at all: `scalars` chains device-side between steps.
+        from ..parallel.mesh import prefetch_to_device
+        pending = None
+        for batch_idx, device_batch in enumerate(prefetch_to_device(
+                self.train_dataloader, self.mesh, prepare=prepare)):
+            try:
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, metrics, scalars = self.train_step(
+                    self.state, device_batch, scalars, lrs, step_rng)
+            except Exception as e:
+                # per-batch resilience (train.py:887-890, 1342-1344): a bad
+                # batch is logged and skipped, never kills the epoch
+                self._log(f"Error in batch {batch_idx}: {e}")
+                continue
+            ntokens = device_batch["input_ids"].size
+            if batch_idx == 0:
+                process(0, metrics, ntokens)
+            else:
+                if pending is not None:
+                    process(*pending)
+                pending = (batch_idx, metrics, ntokens)
+        if pending is not None:
+            process(*pending)
+
         # sync the per-batch focal retune back to host state so epoch
         # interventions compose with it (train.py:1172-1182 ordering)
         if batch_count:
@@ -458,13 +481,18 @@ class SmartContractTrainer:
         scalars = self._scalars(warmup_factor, for_validation=True)
         sums: Dict[str, float] = {}
         batch_count = 0
+        # dispatch every eval step before fetching any metrics: host-side
+        # prep of batch i+1 overlaps the device's step on batch i
+        handles = []
         for batch in self.val_dataloader:
             if self.use_augmentation:
                 batch = self._create_augmented_batch(batch)
             batch = self._pad_to_dp(batch)
             device_batch = shard_batch(batch, self.mesh)
-            m = jax.device_get(self.eval_step(self.state.params, device_batch,
-                                              scalars))
+            handles.append(self.eval_step(self.state.params, device_batch,
+                                          scalars))
+        for h in handles:
+            m = jax.device_get(h)
             for k in ("gen_loss", "contract_vuln_loss", "line_vuln_loss"):
                 sums[k] = sums.get(k, 0.0) + float(m[k])
             batch_count += 1
