@@ -99,9 +99,10 @@ def time_step(trainer, batch, n_small: int = 2, n_large: int = 10) -> float:
         _ = np.asarray(metrics["total_loss"])
         return time.perf_counter() - t0, state
 
-    # compile + queue warmup (RBG keys, like the trainer's fast_rng path —
-    # threefry dropout masks alone cost ~25 ms/step at this size)
-    key = lambda i: jax.random.key(i, impl="rbg")
+    # compile + queue warmup. Partitionable-threefry keys, matching the
+    # trainer's default path (the rbg impl miscompiles to NaN inside the
+    # full step graph on this TPU runtime — see TrainConfig.fast_rng).
+    key = lambda i: jax.random.PRNGKey(i)
     _, state = run(1, trainer.state, key(0))
     _, state = run(1, state, key(1))
     # fixed D2H round-trip latency (subtracted from the chained measurement)

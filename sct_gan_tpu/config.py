@@ -80,9 +80,15 @@ class TrainConfig:
     seed: int = 0
     # Parallelism: number of data-parallel shards (1 = single chip)
     dp_shards: int = 1
-    # TPU-native: hardware RBG PRNG for dropout keys (much cheaper than
-    # threefry on TPU; no reference equivalent — torch uses cuDNN states)
-    fast_rng: bool = True
+    # Hardware RBG PRNG for dropout keys. DISABLED by default: on the
+    # current TPU runtime the rng-bit-generator op miscompiles when fused
+    # into the full train-step graph — every loss turns NaN while the same
+    # forward in a smaller jit is finite (verified by A/B: threefry is
+    # clean on the identical graph/batch; rbg NaNs all of them, and the
+    # NaN vanishes when capture_intermediates breaks up the fusion).
+    # Threefry with jax_threefry_partitionable (enabled by the trainer)
+    # recovers most of the mask-generation cost.
+    fast_rng: bool = False
 
 
 @dataclass(frozen=True)

@@ -91,9 +91,16 @@ class SmartContractTrainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         if cfg.fast_rng:
             # typed key carrying the RBG impl (raw PRNGKey arrays would be
-            # reinterpreted as threefry by downstream consumers)
+            # reinterpreted as threefry by downstream consumers).
+            # WARNING: known to miscompile (NaN losses) inside the full
+            # train-step graph on the current TPU runtime — see
+            # TrainConfig.fast_rng.
             self.rng = jax.random.key(seed, impl="rbg")
         else:
+            # partitionable threefry lowers to vectorizable counter-mode
+            # hashing — much cheaper mask generation than the default
+            # stateful lowering, and safe where the rbg op is not
+            jax.config.update("jax_threefry_partitionable", True)
             self.rng = jax.random.PRNGKey(seed)
         self._py_rng = random.Random(seed)
 
@@ -420,6 +427,15 @@ class SmartContractTrainer:
             if m["line_predictions"] > 0:
                 self.batches_with_predictions += 1
 
+            # NaN/Inf-loss batches are skipped on-device (no param update,
+            # train.py:1301-1309) and excluded from the epoch averages here —
+            # the reference `continue`s past them before accumulation.
+            if m.get("skipped", 0.0) > 0.0 or not math.isfinite(
+                    m["total_loss"]):
+                self._log(f"⚠️  Skipping batch {batch_idx}: non-finite loss "
+                          f"or exploding grads (grad_norm="
+                          f"{m.get('grad_norm', float('nan')):.1f})")
+                return
             for k in ("gen_loss", "contract_vuln_loss", "line_vuln_loss",
                       "discriminator_loss", "syntax_loss"):
                 sums[k] = sums.get(k, 0.0) + m[k]
@@ -515,13 +531,16 @@ class SmartContractTrainer:
         for epoch in range(num_epochs):
             self._log(f"\nEpoch {epoch + 1}/{num_epochs}")
             self.current_epoch = epoch
+            t_train0 = time.time()
             if profile_dir is not None and epoch == profile_epoch:
                 from ..utils.profiling import trace_context
                 with trace_context(profile_dir):
                     train_metrics = self.train_epoch(epoch)
             else:
                 train_metrics = self.train_epoch(epoch)
+            t_val0 = time.time()
             val_metrics = self.validate()
+            t_val1 = time.time()
 
             h = self.training_history
             h["train_loss"].append(train_metrics["gen_loss"])
@@ -538,7 +557,9 @@ class SmartContractTrainer:
 
             self._log(f"Train Loss: {train_metrics['gen_loss']:.4f}  "
                       f"Val Loss: {val_metrics['gen_loss']:.4f}  "
-                      f"({train_metrics['tokens_per_sec']:.0f} tok/s)")
+                      f"({train_metrics['tokens_per_sec']:.0f} tok/s; "
+                      f"train {t_val0 - t_train0:.1f}s "
+                      f"val {t_val1 - t_val0:.1f}s)")
 
             self._epoch_interventions(epoch, train_metrics, val_metrics)
 
@@ -559,13 +580,15 @@ class SmartContractTrainer:
             state_tree = {"params": self.state.params,
                           "opt_state": self.state.opt_state,
                           "step": self.state.step}
+            t_ck0 = time.time()
             if improved:
                 self.best_val_loss = val_metrics["gen_loss"]
                 self.patience_counter = 0
                 path = save_checkpoint(
                     checkpoint_dir, f"best_model{suffix}_epoch_{epoch + 1}",
                     state_tree, meta)
-                self._log(f"🎉 New best validation loss! Saved {path}")
+                self._log(f"🎉 New best validation loss! Saved {path} "
+                          f"({time.time() - t_ck0:.1f}s)")
             else:
                 self.patience_counter += 1
                 self._log(f"No improvement for {self.patience_counter} epochs")
