@@ -77,6 +77,10 @@ class TrainConfig:
     use_gan: bool = False
     num_epochs: int = 400
     checkpoint_dir: str = "checkpoints"
+    # Save the rolling "latest" checkpoint every N epochs (1 = reference
+    # parity, train.py:1719; raise on slow-transfer runtimes — "best" saves
+    # on improvement regardless)
+    latest_every: int = 1
     seed: int = 0
     # Parallelism: number of data-parallel shards (1 = single chip)
     dp_shards: int = 1

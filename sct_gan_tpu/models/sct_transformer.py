@@ -39,6 +39,7 @@ from ..config import ModelConfig
 from ..ops.segment_mean import line_segment_mean
 from .layers import (
     MLP,
+    FastDropout,
     MultiheadAttention,
     ResidualLineFeatureExtractor,
     TransformerDecoderStack,
@@ -88,8 +89,8 @@ class SmartContractTransformer(nn.Module):
                                       name="ast_embedding")
         self.ast_embedding_norm = nn.LayerNorm(epsilon=1e-5,
                                                name="ast_embedding_norm")
-        self.embedding_dropout = nn.Dropout(cfg.dropout)
-        self.ast_embedding_dropout = nn.Dropout(cfg.dropout)
+        self.embedding_dropout = FastDropout(cfg.dropout)
+        self.ast_embedding_dropout = FastDropout(cfg.dropout)
 
         self.encoder = TransformerEncoderStack(
             cfg.num_encoder_layers, d, cfg.nhead, cfg.dim_feedforward,
@@ -148,7 +149,7 @@ class SmartContractTransformer(nn.Module):
 
         # LM output projection (model.py:79-82)
         self.output_norm = nn.LayerNorm(epsilon=1e-5, name="output_norm")
-        self.output_dropout = nn.Dropout(cfg.dropout)
+        self.output_dropout = FastDropout(cfg.dropout)
         self.output_layer = nn.Dense(cfg.vocab_size,
                                      kernel_init=normal_init(0.02),
                                      bias_init=zeros_init, dtype=dtype,

@@ -34,12 +34,29 @@ def checkpoint_suffix(use_augmentation: bool, use_gan: bool) -> str:
     return suffix
 
 
+def fetch_tree(state_tree: Any) -> Any:
+    """Device→host fetch with all per-leaf transfers issued up front.
+
+    A plain ``jax.device_get`` walks the tree serially — on a remote-tunnel
+    runtime each leaf pays a full round trip (measured 264 s for a full-size
+    train state of ~800 leaves). Issuing ``copy_to_host_async`` on every
+    leaf first pipelines the transfers so the total cost is one round trip
+    plus bandwidth."""
+    for leaf in jax.tree_util.tree_leaves(state_tree):
+        if isinstance(leaf, jax.Array):
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                break   # backend without async copies: plain path below
+    return jax.device_get(state_tree)
+
+
 def save_checkpoint(checkpoint_dir: str, name: str, state_tree: Any,
                     metadata: Dict) -> str:
     """Save arrays via orbax + metadata JSON. Returns the checkpoint path."""
     path = os.path.abspath(os.path.join(checkpoint_dir, name))
     ckptr = _checkpointer()
-    ckptr.save(path, jax.device_get(state_tree), force=True)
+    ckptr.save(path, fetch_tree(state_tree), force=True)
     with open(path + ".meta.json", "w") as f:
         json.dump(metadata, f, indent=2, default=float)
     return path

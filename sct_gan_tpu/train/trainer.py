@@ -598,8 +598,9 @@ class SmartContractTrainer:
                           "without improvement")
                 break
 
-            save_checkpoint(checkpoint_dir, f"latest_model{suffix}",
-                            state_tree, meta)
+            if (epoch + 1) % max(self.cfg.latest_every, 1) == 0:
+                save_checkpoint(checkpoint_dir, f"latest_model{suffix}",
+                                state_tree, meta)
         return self.training_history
 
     # ------------------------------------------------------------------

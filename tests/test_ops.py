@@ -130,3 +130,25 @@ def test_sample_categorical_respects_filter():
     logits = jnp.asarray(np.tile([[10.0, -10.0, 9.5, -10.0]], (64, 1)))
     toks = sample_categorical(rng, logits, temperature=0.7, top_k=2, top_p=0.95)
     assert set(np.asarray(toks).tolist()) <= {0, 2}
+
+
+def test_fast_dropout_cpu_fallback():
+    """On CPU fast_dropout uses the jax.random path: check semantics."""
+    import jax
+    import jax.numpy as jnp
+    from sct_gan_tpu.ops.dropout import fast_dropout
+
+    x = jnp.ones((64, 256), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    assert (fast_dropout(x, 0.5, key, deterministic=True) == x).all()
+    assert (fast_dropout(x, 0.0, key) == x).all()
+    y = fast_dropout(x, 0.5, key)
+    y2 = fast_dropout(x, 0.5, key)
+    assert (y == y2).all()                       # deterministic per key
+    kept = float((y != 0).mean())
+    assert 0.4 < kept < 0.6                      # ~keep prob
+    nz = y[y != 0]
+    assert jnp.allclose(nz, 2.0)                 # 1/(1-rate) scaling
+    # gradient is mask/(1-rate)
+    g = jax.grad(lambda x_: fast_dropout(x_, 0.5, key).sum())(x)
+    assert jnp.allclose(g, (y != 0) / 0.5)

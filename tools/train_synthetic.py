@@ -61,7 +61,9 @@ def main() -> None:
         model, train_loader, val_loader, tok,
         config=TrainConfig(learning_rate=args.lr, use_gan=True,
                            use_augmentation=not args.no_aug,
-                           warmup_epochs=5),
+                           warmup_epochs=5,
+                           # remote-tunnel D2H makes every save minutes-long
+                           latest_every=10),
         mesh=mesh, verbose=True)
 
     ckpt_dir = os.path.join(args.out, "checkpoints")

@@ -122,6 +122,30 @@ def main() -> int:
     err = float(jnp.abs(g_tiny - g_clean).max())
     check("dropout rate→0 gradient limit", err < 1e-2, f"max_err={err:.2e}")
 
+    # -- fast_dropout (ops/dropout.py): in-kernel PRNG elementwise dropout --
+    from sct_gan_tpu.ops.dropout import fast_dropout
+    x = jnp.asarray(rng.normal(size=(8, 1024, 768)), jnp.bfloat16)
+    kk = jax.random.PRNGKey(3)
+    d1 = fast_dropout(x, 0.3, kk)
+    d1b = fast_dropout(x, 0.3, kk)
+    d2 = fast_dropout(x, 0.3, jax.random.PRNGKey(4))
+    check("fast_dropout deterministic per key", bool(jnp.allclose(d1, d1b)))
+    check("fast_dropout varies across keys", not bool(jnp.allclose(d1, d2)))
+    kept = float((d1 != 0).mean())
+    check("fast_dropout keep rate", abs(kept - 0.7) < 0.02, f"kept={kept:.3f}")
+    nz = d1[d1 != 0] / x[d1 != 0]
+    scale_err = float(jnp.abs(nz.astype(jnp.float32) - 1.0 / 0.7).max())
+    check("fast_dropout scale", scale_err < 1e-2, f"err={scale_err:.2e}")
+    # backward regenerates the same mask: grad of sum == mask * inv
+    # (mask taken from an f32 forward — tiling, and hence the per-tile
+    # stream, is dtype-dependent)
+    xf = x.astype(jnp.float32)
+    g = jax.grad(lambda x_: fast_dropout(x_, 0.3, kk).sum())(xf)
+    mask = (fast_dropout(xf, 0.3, kk) != 0).astype(jnp.float32)
+    gerr = float(jnp.abs(g - mask / 0.7).max())
+    check("fast_dropout backward mask regen", gerr < 1e-5,
+          f"max_err={gerr:.2e}")
+
     print("FAILURES:", failures)
     return 1 if failures else 0
 
