@@ -413,6 +413,14 @@ def flash_attention(
     sk = k.shape[2]
     block_q = min(block_q, _round_up(q.shape[2], 128))
     block_k = min(block_k, _round_up(sk, 128))
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        # The dropout mask for tile (b, h, qi, kj) is a function of the tile
+        # COORDINATES; the backward kernels clamp their blocks to 512 (VMEM),
+        # so the forward must tile identically or the regenerated masks
+        # diverge and the gradient is garbage (measured: ×1500 grad-norm
+        # amplification with mismatched 1024-vs-512 K blocks).
+        block_q = min(block_q, 512)
+        block_k = min(block_k, 512)
     if key_padding_mask is None:
         kp_bias = jnp.zeros((q.shape[0], sk), dtype=jnp.float32)
     else:

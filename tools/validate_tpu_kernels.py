@@ -122,6 +122,47 @@ def main() -> int:
     err = float(jnp.abs(g_tiny - g_clean).max())
     check("dropout rate→0 gradient limit", err < 1e-2, f"max_err={err:.2e}")
 
+    # Dropout-mask forward/backward consistency at FULL rate and the
+    # production sequence length. The mask for tile (b, h, qi, kj) is a pure
+    # function of (seed, tile coords), so the backward must tile the
+    # sequence EXACTLY like the forward — a fwd (512,1024) vs bwd-clamped
+    # (512,512) mismatch once made every dropout gradient garbage (×1500
+    # grad-norm amplification in the full model). With q=k=0 the attention
+    # weights are uniform, so the forward linearly exposes the mask:
+    # out = M @ v / (S(1-r)); extract M column-block by column-block, then
+    # check the kernel's dV against the extracted-mask reference.
+    # (A finite-difference check is useless here: TPU default-precision f32
+    # matmuls drown the FD signal.)
+    S, Dh, rate = 1024, 96, 0.3
+    dkey = jax.random.PRNGKey(11)
+    kpm1 = jnp.ones((1, S), bool)
+    q0 = jnp.zeros((1, 1, S, Dh), jnp.float32)
+    cols = []
+    for j0 in range(0, S, Dh):
+        vbasis = jnp.zeros((S, Dh), jnp.float32)
+        w = min(Dh, S - j0)
+        vbasis = vbasis.at[j0:j0 + w, :w].set(jnp.eye(w))
+        out = flash_attention(q0, q0, vbasis[None, None],
+                              key_padding_mask=kpm1, dropout_rate=rate,
+                              dropout_rng=dkey)
+        cols.append(np.asarray(jax.device_get(out[0, 0, :, :w]))
+                    * S * (1 - rate))
+    M = np.concatenate(cols, axis=1)
+    keep = float((M > 0.5).mean())
+    binary = bool(np.all((np.abs(M) < 1e-2) | (np.abs(M - 1.0) < 1e-2)))
+    check("dropout fwd mask binary + keep rate", binary
+          and abs(keep - (1 - rate)) < 0.01, f"keep={keep:.4f}")
+    dO = jnp.asarray(rng.normal(size=(1, 1, S, Dh)), jnp.float32)
+    v_in = jnp.asarray(rng.normal(size=(1, 1, S, Dh)), jnp.float32)
+    g_v = jax.grad(lambda v_: jnp.vdot(flash_attention(
+        q0, q0, v_, key_padding_mask=kpm1, dropout_rate=rate,
+        dropout_rng=dkey), dO))(v_in)
+    ref = (M / (S * (1 - rate))).T @ np.asarray(jax.device_get(dO))[0, 0]
+    relv = float(np.abs(np.asarray(jax.device_get(g_v))[0, 0] - ref).max()
+                 / (np.abs(ref).max() + 1e-9))
+    check("dropout bwd regenerates the fwd mask (dV parity)", relv < 0.05,
+          f"rel_err={relv:.4f}")
+
     # -- fast_dropout (ops/dropout.py): in-kernel PRNG elementwise dropout --
     from sct_gan_tpu.ops.dropout import fast_dropout
     x = jnp.asarray(rng.normal(size=(8, 1024, 768)), jnp.bfloat16)
