@@ -34,8 +34,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import TASCConfig
-from ..models.layers import (MultiheadAttention, sinusoidal_position_encoding,
-                             xavier_init, zeros_init)
+from ..models.layers import (FastDropout, MultiheadAttention,
+                             sinusoidal_position_encoding, xavier_init,
+                             zeros_init)
 
 PATTERN_HEADS = {
     "timestamp_dependence": 3,   # TDInvocation, TDAssign, TDContaminate
@@ -65,15 +66,15 @@ class PostNormEncoderLayer(nn.Module):
                                dtype=self.dtype, name="self_attn")(
             x, x, x, key_padding_mask=key_padding_mask,
             deterministic=deterministic)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + h)
         h = nn.Dense(self.dim_feedforward, kernel_init=xavier_init,
                      dtype=self.dtype, name="linear1")(x)
         h = jax.nn.relu(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, kernel_init=xavier_init, dtype=self.dtype,
                      name="linear2")(h)
-        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = FastDropout(self.dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
 
 
@@ -100,7 +101,7 @@ class PostNormDecoderLayer(nn.Module):
                                 dtype=self.dtype, name="linear1")
         self.linear2 = nn.Dense(self.d_model, kernel_init=xavier_init,
                                 dtype=self.dtype, name="linear2")
-        self.drop = nn.Dropout(self.dropout)
+        self.drop = FastDropout(self.dropout)
 
     def _ffn(self, x, deterministic):
         h = jax.nn.relu(self.linear1(x))
@@ -170,7 +171,7 @@ class Generator(nn.Module):
                          name=f"dense_{i}")(x)
             x = nn.LayerNorm(epsilon=1e-5, name=f"norm_{i}")(x)
             x = jax.nn.relu(x)
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = FastDropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(self.d_model, kernel_init=xavier_init, dtype=self.dtype,
                      name="dense_out")(x)
         return jnp.tanh(x)
@@ -195,7 +196,7 @@ class Discriminator(nn.Module):
                          name=f"dense_{i}")(x)
             x = nn.LayerNorm(epsilon=1e-5, name=f"norm_{i}")(x)
             x = jax.nn.leaky_relu(x, negative_slope=0.2)
-            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+            x = FastDropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(1, kernel_init=xavier_init, dtype=self.dtype,
                      name="dense_out")(x)
         return jax.nn.sigmoid(x).astype(jnp.float32)
@@ -235,7 +236,7 @@ class CodeDecoder(nn.Module):
                               dtype=self.dtype, name="proj1")
         self.proj2 = nn.Dense(self.vocab_size, kernel_init=xavier_init,
                               dtype=self.dtype, name="proj2")
-        self.drop = nn.Dropout(self.dropout)
+        self.drop = FastDropout(self.dropout)
         self._pe = sinusoidal_position_encoding(max(self.max_length, 2048),
                                                 self.d_model)
 
@@ -314,7 +315,7 @@ class VulnerabilityClassifier(nn.Module):
         }
         self.location_attention = MultiheadAttention(
             d, 8, self.dropout, dtype=self.dtype, name="location_attention")
-        self.drop = nn.Dropout(self.dropout)
+        self.drop = FastDropout(self.dropout)
 
     def __call__(self, x, attention_mask=None, deterministic=True):
         if x.ndim > 2:
