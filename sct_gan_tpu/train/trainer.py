@@ -42,7 +42,8 @@ from ..data.augmentation import SmartContractAugmenter
 from ..losses.syntax import SyntaxLossTables
 from ..models.sct_transformer import SmartContractTransformer
 from ..parallel.mesh import make_mesh, shard_batch, shard_params
-from .checkpoint import checkpoint_suffix, save_checkpoint
+from .checkpoint import (AsyncSaver, checkpoint_suffix,
+                         save_checkpoint)
 from .optimizer import (GroupLRs, ReduceLROnPlateau, build_gradient_transform,
                         group_index_tree)
 from .train_step import (DynamicScalars, TrainState, make_eval_step,
@@ -103,6 +104,7 @@ class SmartContractTrainer:
             jax.config.update("jax_threefry_partitionable", True)
             self.rng = jax.random.PRNGKey(seed)
         self._py_rng = random.Random(seed)
+        self._saver = AsyncSaver(log=self._log)
 
         # -- parameters ------------------------------------------------------
         max_len = model.config.max_length
@@ -580,15 +582,17 @@ class SmartContractTrainer:
             state_tree = {"params": self.state.params,
                           "opt_state": self.state.opt_state,
                           "step": self.state.step}
-            t_ck0 = time.time()
             if improved:
                 self.best_val_loss = val_metrics["gen_loss"]
                 self.patience_counter = 0
-                path = save_checkpoint(
+                # async: the device-side snapshot is immediate, the slow
+                # D2H + write runs on the saver thread (checkpoint.AsyncSaver)
+                self._saver.submit(
                     checkpoint_dir, f"best_model{suffix}_epoch_{epoch + 1}",
                     state_tree, meta)
-                self._log(f"🎉 New best validation loss! Saved {path} "
-                          f"({time.time() - t_ck0:.1f}s)")
+                self._log("🎉 New best validation loss! Saving "
+                          f"best_model{suffix}_epoch_{epoch + 1} "
+                          "(background)")
             else:
                 self.patience_counter += 1
                 self._log(f"No improvement for {self.patience_counter} epochs")
@@ -599,8 +603,23 @@ class SmartContractTrainer:
                 break
 
             if (epoch + 1) % max(self.cfg.latest_every, 1) == 0:
-                save_checkpoint(checkpoint_dir, f"latest_model{suffix}",
-                                state_tree, meta)
+                self._saver.submit(checkpoint_dir, f"latest_model{suffix}",
+                                   state_tree, meta)
+        # make the written checkpoints visible/complete before returning
+        self._saver.wait()
+        # guarantee at least one best checkpoint exists (every submit during
+        # the run may have been dropped while a previous save was in flight)
+        import glob as _glob
+        if not _glob.glob(os.path.join(checkpoint_dir, "best_model*")):
+            save_checkpoint(checkpoint_dir,
+                            f"best_model{suffix}_epoch_{self.current_epoch + 1}",
+                            {"params": self.state.params,
+                             "opt_state": self.state.opt_state,
+                             "step": self.state.step},
+                            {"epoch": self.current_epoch + 1,
+                             "training_history": self.training_history,
+                             "use_augmentation": self.use_augmentation,
+                             "use_gan": self.use_gan})
         return self.training_history
 
     # ------------------------------------------------------------------
