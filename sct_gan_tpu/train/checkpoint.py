@@ -69,7 +69,31 @@ def fetch_tree(state_tree: Any) -> Any:
         _PACK_CACHE[cache_key] = _pack
 
     try:
-        packed = jax.device_get(_pack(leaves))
+        device_packed = _pack(leaves)
+        # Fetch each packed buffer in bounded chunks rather than one giant
+        # RPC: on a single-lane tunnel a multi-GB transfer would block every
+        # concurrently-dispatched program (training steps) for its whole
+        # duration. ~32 MB per RPC lets other traffic interleave. The chunk
+        # is cut with ONE jitted dynamic_slice (traced offset) — python
+        # slicing would bake every offset into a fresh remote compilation.
+        packed = {}
+        for key_, buf in device_packed.items():
+            chunk = max(1, (32 << 20) // max(buf.dtype.itemsize, 1))
+            if buf.size <= chunk:
+                packed[key_] = np.asarray(jax.device_get(buf))
+                continue
+            sl_key = ("slicer", buf.shape, str(buf.dtype), chunk)
+            slicer = _PACK_CACHE.get(sl_key)
+            if slicer is None:
+                slicer = jax.jit(lambda b, o, _c=chunk: jax.lax.dynamic_slice(
+                    b, (o,), (_c,)))
+                _PACK_CACHE[sl_key] = slicer
+            host = np.empty((buf.size,), buf.dtype)
+            for off in range(0, buf.size, chunk):
+                start = min(off, buf.size - chunk)   # dynamic_slice clamp
+                part = np.asarray(jax.device_get(slicer(buf, start)))
+                host[start:start + chunk] = part
+            packed[key_] = host
     except Exception:
         return jax.device_get(state_tree)   # fallback: plain walk
 
