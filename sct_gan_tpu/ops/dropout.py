@@ -92,6 +92,8 @@ def fast_dropout(x: jnp.ndarray, rate: float, rng: jax.Array,
     """
     if deterministic or rate <= 0.0:
         return x
+    if rate >= 1.0:   # match nn.Dropout: drop everything, no 1/(1-rate) inf
+        return jnp.zeros_like(x)
     c = x.shape[-1]
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     if not on_tpu or c % 128 != 0 or x.ndim < 2:

@@ -39,72 +39,91 @@ def checkpoint_suffix(use_augmentation: bool, use_gan: bool) -> str:
     return suffix
 
 
+def _fetch_chunked(buf) -> np.ndarray:
+    """Fetch one device buffer in bounded chunks rather than one giant RPC:
+    on a single-lane tunnel a multi-GB transfer would block every
+    concurrently-dispatched program (training steps) for its whole duration.
+    ~32 MB per RPC lets other traffic interleave. Each chunk is cut with ONE
+    jitted dynamic_slice (traced offset) — python slicing would bake every
+    offset into a fresh remote compilation."""
+    chunk = max(1, (32 << 20) // max(buf.dtype.itemsize, 1))
+    if buf.size <= chunk:
+        return np.asarray(jax.device_get(buf))
+    sl_key = ("slicer", buf.shape, str(buf.dtype), chunk)
+    slicer = _PACK_CACHE.get(sl_key)
+    if slicer is None:
+        slicer = jax.jit(lambda b, o, _c=chunk: jax.lax.dynamic_slice(
+            b, (o,), (_c,)))
+        _PACK_CACHE[sl_key] = slicer
+    host = np.empty((buf.size,), buf.dtype)
+    for off in range(0, buf.size, chunk):
+        start = min(off, buf.size - chunk)   # dynamic_slice clamp
+        part = np.asarray(jax.device_get(slicer(buf, start)))
+        host[start:start + chunk] = part
+    return host
+
+
+# cap on the transient device-side copy made while packing: leaves are packed
+# and fetched in ≤_GROUP_BYTES groups so the extra HBM held at any instant is
+# bounded even for multi-GB train states (on top of AsyncSaver's snapshots).
+_GROUP_BYTES = 256 << 20
+
+
 def fetch_tree(state_tree: Any) -> Any:
-    """Device→host fetch that packs leaves into one buffer per dtype.
+    """Device→host fetch that packs leaves into a few large buffers.
 
     A plain ``jax.device_get`` walks the tree leaf by leaf — on a
     remote-tunnel runtime each leaf pays a full RPC round trip, so a
     full-size train state (~1200 leaves) takes many minutes regardless of
     bandwidth (``copy_to_host_async`` is a silent no-op there). Instead:
-    concatenate all raveled leaves of each dtype into ONE device array
-    (one fused XLA program), fetch the handful of packed buffers, and
-    split/reshape on host. Costs one transient device-side copy of the
-    state; turns ~1200 RPCs into ~4."""
+    concatenate raveled same-dtype leaves into large device arrays (one
+    fused XLA program per ≤256 MB group, fetched before the next group is
+    packed so the transient device-side copy stays bounded), fetch each in
+    32 MB chunks, and split/reshape on host. Turns ~1200 RPCs into ~dozens."""
     leaves, treedef = jax.tree_util.tree_flatten(state_tree)
     idx_by_dtype: Dict = {}
     for i, leaf in enumerate(leaves):
         if isinstance(leaf, jax.Array) and leaf.size > 0:
             idx_by_dtype.setdefault(jnp.dtype(leaf.dtype), []).append(i)
 
-    cache_key = (treedef, tuple((getattr(l, "shape", None),
-                                 str(getattr(l, "dtype", None)))
-                                for l in leaves))
-    _pack = _PACK_CACHE.get(cache_key)
-    if _pack is None:
-        @jax.jit
-        def _pack(ls, _idx=tuple((dt, tuple(ix))
-                                 for dt, ix in idx_by_dtype.items())):
-            return {str(dt): jnp.concatenate([ls[i].ravel() for i in idxs])
-                    for dt, idxs in _idx}
-        _PACK_CACHE[cache_key] = _pack
-
-    try:
-        device_packed = _pack(leaves)
-        # Fetch each packed buffer in bounded chunks rather than one giant
-        # RPC: on a single-lane tunnel a multi-GB transfer would block every
-        # concurrently-dispatched program (training steps) for its whole
-        # duration. ~32 MB per RPC lets other traffic interleave. The chunk
-        # is cut with ONE jitted dynamic_slice (traced offset) — python
-        # slicing would bake every offset into a fresh remote compilation.
-        packed = {}
-        for key_, buf in device_packed.items():
-            chunk = max(1, (32 << 20) // max(buf.dtype.itemsize, 1))
-            if buf.size <= chunk:
-                packed[key_] = np.asarray(jax.device_get(buf))
-                continue
-            sl_key = ("slicer", buf.shape, str(buf.dtype), chunk)
-            slicer = _PACK_CACHE.get(sl_key)
-            if slicer is None:
-                slicer = jax.jit(lambda b, o, _c=chunk: jax.lax.dynamic_slice(
-                    b, (o,), (_c,)))
-                _PACK_CACHE[sl_key] = slicer
-            host = np.empty((buf.size,), buf.dtype)
-            for off in range(0, buf.size, chunk):
-                start = min(off, buf.size - chunk)   # dynamic_slice clamp
-                part = np.asarray(jax.device_get(slicer(buf, start)))
-                host[start:start + chunk] = part
-            packed[key_] = host
-    except Exception:
-        return jax.device_get(state_tree)   # fallback: plain walk
+    # split each dtype's leaf list into bounded-byte groups
+    groups = []   # (dtype, tuple(leaf indices))
+    for dt, idxs in idx_by_dtype.items():
+        cur, cur_bytes = [], 0
+        for i in idxs:
+            sz = leaves[i].size * dt.itemsize
+            if cur and cur_bytes + sz > _GROUP_BYTES:
+                groups.append((dt, tuple(cur)))
+                cur, cur_bytes = [], 0
+            cur.append(i)
+            cur_bytes += sz
+        if cur:
+            groups.append((dt, tuple(cur)))
 
     out = list(leaves)
-    for dt, idxs in idx_by_dtype.items():
-        flat = packed[str(dt)]
-        off = 0
-        for i in idxs:
-            n = leaves[i].size
-            out[i] = np.asarray(flat[off:off + n]).reshape(leaves[i].shape)
-            off += n
+    try:
+        for dt, idxs in groups:
+            pk_key = ("pack", tuple((leaves[i].shape, str(dt)) for i in idxs))
+            pack = _PACK_CACHE.get(pk_key)
+            if pack is None:
+                pack = jax.jit(
+                    lambda ls: jnp.concatenate([l.ravel() for l in ls]))
+                _PACK_CACHE[pk_key] = pack
+            # device_get below blocks until this group is on host, so at most
+            # one packed group buffer is live on device at a time
+            flat = _fetch_chunked(pack([leaves[i] for i in idxs]))
+            off = 0
+            for i in idxs:
+                n = leaves[i].size
+                out[i] = np.asarray(flat[off:off + n]).reshape(leaves[i].shape)
+                off += n
+    except Exception as e:
+        import logging
+        logging.getLogger(__name__).warning(
+            "fetch_tree packed fetch failed (%s: %s); falling back to the "
+            "slow leaf-by-leaf device_get", type(e).__name__, e)
+        return jax.device_get(state_tree)   # fallback: plain walk
+
     # non-array leaves (python scalars, rng keys already on host) as-is
     out = [jax.device_get(x) if isinstance(x, jax.Array) and x.size == 0
            else x for x in out]
@@ -135,65 +154,77 @@ class AsyncSaver:
     Saves are queued in one slot per category ("best" / "latest"): a newer
     submit of the same category replaces the not-yet-started older one (its
     device snapshot is freed), so a long save never starves the other
-    category and memory stays bounded at ≤2 extra state snapshots."""
+    category and memory stays bounded at ≤2 extra state snapshots.
+
+    One persistent worker thread drains the queue, woken by a Condition on
+    every submit — a spawn-per-drain design has a lost-wakeup race where the
+    dying thread decides to exit just as submit enqueues and sees it still
+    alive. Metadata is deep-copied at submit time: the training thread keeps
+    mutating training_history/lrs/scheduler state, and the persisted meta
+    must match the snapshotted weights' epoch."""
 
     def __init__(self, log=None):
         import threading
-        self._thread = None
-        self._lock = threading.Lock()
+        self._cond = threading.Condition()
+        self._thread: Optional[threading.Thread] = None
         self._pending: Dict = {}
+        self._inflight = False
         self._log = log or (lambda *a, **k: None)
 
     def busy(self) -> bool:
-        return self._thread is not None and self._thread.is_alive()
+        with self._cond:
+            return self._inflight or bool(self._pending)
 
     def submit(self, checkpoint_dir: str, name: str, state_tree: Any,
                metadata: Dict) -> bool:
+        import copy
         import threading
         snap = jax.tree_util.tree_map(
             lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x,
             state_tree)
+        meta = copy.deepcopy(metadata)
         category = "best" if name.startswith("best") else "latest"
-        with self._lock:
+        with self._cond:
             if category in self._pending:
                 self._log(f"checkpoint {name}: replaces queued "
                           f"{self._pending[category][1]}")
-            self._pending[category] = (checkpoint_dir, name, snap, metadata)
-            if not self.busy():
+            self._pending[category] = (checkpoint_dir, name, snap, meta)
+            if self._thread is None or not self._thread.is_alive():
                 self._thread = threading.Thread(
-                    target=self._drain, daemon=True, name="ckpt-saver")
+                    target=self._worker, daemon=True, name="ckpt-saver")
                 self._thread.start()
+            self._cond.notify_all()
         return True
 
-    def _drain(self) -> None:
+    def _worker(self) -> None:
         while True:
-            with self._lock:
-                if not self._pending:
-                    return
+            with self._cond:
+                while not self._pending:
+                    self._cond.wait()
                 # best first: it is the checkpoint evaluation depends on
                 cat = "best" if "best" in self._pending else "latest"
                 ckpt_dir, name, snap, meta = self._pending.pop(cat)
+                self._inflight = True
             try:
                 save_checkpoint(ckpt_dir, name, snap, meta)
                 self._log(f"checkpoint {name}: saved")
             except Exception as e:   # never kill training over a save
                 self._log(f"checkpoint {name}: save FAILED: {e}")
+            finally:
+                with self._cond:
+                    self._inflight = False
+                    self._cond.notify_all()
 
     def wait(self) -> None:
-        while True:
-            with self._lock:
-                t = self._thread
-            if t is None or not t.is_alive():
-                with self._lock:
-                    if not self._pending:
-                        return
-                    # thread died between submit and start: restart drain
+        with self._cond:
+            while self._pending or self._inflight:
+                if self._thread is None or not self._thread.is_alive():
+                    # worker died unexpectedly: restart it so the queue drains
                     import threading
                     self._thread = threading.Thread(
-                        target=self._drain, daemon=True, name="ckpt-saver")
+                        target=self._worker, daemon=True, name="ckpt-saver")
                     self._thread.start()
-                    t = self._thread
-            t.join()
+                self._cond.wait(timeout=1.0)
 
 
 def load_checkpoint(path: str,

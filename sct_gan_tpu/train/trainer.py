@@ -499,21 +499,30 @@ class SmartContractTrainer:
         scalars = self._scalars(warmup_factor, for_validation=True)
         sums: Dict[str, float] = {}
         batch_count = 0
-        # dispatch every eval step before fetching any metrics: host-side
-        # prep of batch i+1 overlaps the device's step on batch i
-        handles = []
+        # sliding-window pipeline: host prep of batch i+1 overlaps the
+        # device's step on batch i, but in-flight executions (each pinning
+        # its device input batch) stay bounded regardless of val-set size
+        import collections
+        pending = collections.deque()
+
+        def _fetch_one():
+            nonlocal batch_count
+            m = jax.device_get(pending.popleft())
+            for k in ("gen_loss", "contract_vuln_loss", "line_vuln_loss"):
+                sums[k] = sums.get(k, 0.0) + float(m[k])
+            batch_count += 1
+
         for batch in self.val_dataloader:
             if self.use_augmentation:
                 batch = self._create_augmented_batch(batch)
             batch = self._pad_to_dp(batch)
             device_batch = shard_batch(batch, self.mesh)
-            handles.append(self.eval_step(self.state.params, device_batch,
+            pending.append(self.eval_step(self.state.params, device_batch,
                                           scalars))
-        for h in handles:
-            m = jax.device_get(h)
-            for k in ("gen_loss", "contract_vuln_loss", "line_vuln_loss"):
-                sums[k] = sums.get(k, 0.0) + float(m[k])
-            batch_count += 1
+            if len(pending) > 2:
+                _fetch_one()
+        while pending:
+            _fetch_one()
         out = {k: (sums.get(k, 0.0) / batch_count if batch_count else
                    float("inf"))
                for k in ("gen_loss", "contract_vuln_loss", "line_vuln_loss")}
