@@ -1,4 +1,4 @@
-"""Synthetic labeled Solidity corpus for tests, overfit runs, and benches.
+"""Synthetic labeled Solidity corpus for tests, training runs, and benches.
 
 The reference trains on a private Etherscan CSV
 (`contract_sources_with_vulnerabilities_2048_token_size.csv`, Model-v3
@@ -7,85 +7,290 @@ produces contracts with known vulnerable lines per type so the full pipeline
 (labels → training → detection → metrics) is exercisable hermetically. The
 CSV schema matches the reference's: ``source_code``, ``contract_name``, and
 one ``{vuln}_lines`` column per vulnerability type.
+
+Detection on this corpus is deliberately NOT trivial: every vulnerability
+type has several surface variants, every vulnerable pattern has a safe
+"near-miss" twin that shares most of its tokens (checks-effects-interactions
+withdraw vs reentrant withdraw, ``msg.sender`` auth vs ``tx.origin`` auth,
+``transfer`` vs unchecked ``send``, bounded vs unbounded payout loops,
+checked vs raw arithmetic), and identifiers are randomized per contract — so
+a model must learn the semantic pattern, not memorize one snippet or one
+variable name.
 """
 from __future__ import annotations
 
 import random
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence, Tuple
 
 VULNERABILITY_TYPES = [
     "ARTHM", "DOS", "LE", "RENT", "TimeM", "TimeO", "Tx-Origin", "UE",
 ]
 
-# Each snippet is (lines, relative_vulnerable_line_indices)
-_VULN_SNIPPETS = {
-    "ARTHM": (
-        ["    function addFunds(uint256 amount) public {",
-         "        total = total + amount * rate;",
-         "    }"],
-        [1],
-    ),
-    "DOS": (
-        ["    function payAll() public {",
-         "        for (uint i = 0; i < holders.length; i++) {",
-         "            holders[i].transfer(dividend);",
-         "        }",
-         "    }"],
-        [1, 2],
-    ),
-    "LE": (
-        ["    function lockFunds() public payable {",
-         "        locked[msg.sender] = msg.value;",
-         "    }"],
-        [1],
-    ),
-    "RENT": (
-        ["    function withdraw(uint256 amount) public {",
-         "        msg.sender.call{value: amount}(\"\");",
-         "        balances[msg.sender] -= amount;",
-         "    }"],
-        [1, 2],
-    ),
-    "TimeM": (
-        ["    function draw() public view returns (bool) {",
-         "        return block.timestamp % 2 == 0;",
-         "    }"],
-        [1],
-    ),
-    "TimeO": (
-        ["    function expire() public {",
-         "        if (now > deadline) { state = 2; }",
-         "    }"],
-        [1],
-    ),
-    "Tx-Origin": (
-        ["    function adminOnly() public {",
-         "        require(tx.origin == owner);",
-         "        paused = true;",
-         "    }"],
-        [1],
-    ),
-    "UE": (
-        ["    function pay(address payable to, uint256 v) public {",
-         "        to.send(v);",
-         "    }"],
-        [1],
-    ),
+# Identifier pools drawn per contract, so no vuln type is tied to a name.
+_FN_NAMES = ["process", "handle", "execute", "settle", "claim", "redeem",
+             "update", "release", "collect", "sweep", "finalize", "sync"]
+_AMT_NAMES = ["amount", "value", "sum", "qty", "wad", "units", "portion"]
+_ADDR_NAMES = ["user", "account", "recipient", "beneficiary", "target",
+               "payee"]
+
+
+class _Names:
+    """Per-contract random identifier supply (unique function names)."""
+
+    def __init__(self, rng: random.Random):
+        self.rng = rng
+        self._fns = _FN_NAMES[:]
+        rng.shuffle(self._fns)
+        self._i = 0
+
+    def fn(self) -> str:
+        self._i += 1
+        base = self._fns[self._i % len(self._fns)]
+        return f"{base}{self._i}" if self._i > len(self._fns) else base
+
+    def amt(self) -> str:
+        return self.rng.choice(_AMT_NAMES)
+
+    def addr(self) -> str:
+        return self.rng.choice(_ADDR_NAMES)
+
+
+# Snippet builders: nm -> (lines, relative_vulnerable_line_indices).
+# Several variants per type; the matching safe near-miss twins live in
+# _SAFE_BUILDERS and share most surface tokens with them.
+
+def _arthm_v0(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(uint256 {a}) public {{",
+             f"        total = total + {a} * rate;",
+             "    }"], [1])
+
+
+def _arthm_v1(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(uint256 {a}) public {{",
+             f"        balances[msg.sender] = balances[msg.sender] - {a};",
+             f"        total -= {a} * 2;",
+             "    }"], [1, 2])
+
+
+def _arthm_v2(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}(uint8 count) public {{",
+             "        uint8 next = uint8(state) + count;",
+             "        state = next;",
+             "    }"], [1])
+
+
+def _dos_v0(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        for (uint i = 0; i < holders.length; i++) {",
+             "            holders[i].transfer(dividend);",
+             "        }",
+             "    }"], [1, 2])
+
+
+def _dos_v1(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        uint i = 0;",
+             "        while (i < holders.length) {",
+             "            balances[holders[i]] += dividend;",
+             "            i++;",
+             "        }",
+             "    }"], [2, 3])
+
+
+def _le_v0(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public payable {{",
+             "        locked[msg.sender] = msg.value;",
+             "    }"], [1])
+
+
+def _le_v1(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public payable {{",
+             "        require(msg.value > 0);",
+             "        locked[msg.sender] += msg.value;",
+             "        state = 1;",
+             "    }"], [2])
+
+
+def _rent_v0(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(uint256 {a}) public {{",
+             f"        msg.sender.call{{value: {a}}}(\"\");",
+             f"        balances[msg.sender] -= {a};",
+             "    }"], [1, 2])
+
+
+def _rent_v1(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(uint256 {a}) public {{",
+             f"        require(balances[msg.sender] >= {a});",
+             f"        (bool ok, ) = msg.sender.call{{value: {a}}}(\"\");",
+             "        require(ok);",
+             f"        balances[msg.sender] = balances[msg.sender] - {a};",
+             "    }"], [2, 4])
+
+
+def _timem_v0(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public view returns (bool) {{",
+             "        return block.timestamp % 2 == 0;",
+             "    }"], [1])
+
+
+def _timem_v1(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        uint256 roll = uint256(blockhash(block.number - 1)) % 100;",
+             "        if (roll < 50) { dividend += 1; }",
+             "    }"], [1])
+
+
+def _timeo_v0(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        if (now > deadline) { state = 2; }",
+             "    }"], [1])
+
+
+def _timeo_v1(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        require(block.timestamp >= deadline + 30 seconds);",
+             "        paused = true;",
+             "    }"], [1])
+
+
+def _txorigin_v0(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        require(tx.origin == owner);",
+             "        paused = true;",
+             "    }"], [1])
+
+
+def _txorigin_v1(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, ad = nm.fn(), nm.addr()
+    return ([f"    function {f}(address {ad}) public {{",
+             f"        if (tx.origin == {ad}) {{",
+             "            state = 3;",
+             "        }",
+             "    }"], [1])
+
+
+def _ue_v0(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a, ad = nm.fn(), nm.amt(), nm.addr()
+    return ([f"    function {f}(address payable {ad}, uint256 {a}) public {{",
+             f"        {ad}.send({a});",
+             "    }"], [1])
+
+
+def _ue_v1(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(uint256 {a}) public {{",
+             f"        owner.call{{value: {a}}}(\"\");",
+             f"        total += {a};",
+             "    }"], [1])
+
+
+_VULN_BUILDERS: Dict[str, Sequence] = {
+    "ARTHM": (_arthm_v0, _arthm_v1, _arthm_v2),
+    "DOS": (_dos_v0, _dos_v1),
+    "LE": (_le_v0, _le_v1),
+    "RENT": (_rent_v0, _rent_v1),
+    "TimeM": (_timem_v0, _timem_v1),
+    "TimeO": (_timeo_v0, _timeo_v1),
+    "Tx-Origin": (_txorigin_v0, _txorigin_v1),
+    "UE": (_ue_v0, _ue_v1),
 }
 
-_SAFE_SNIPPETS = [
-    ["    function getOwner() public view returns (address) {",
-     "        return owner;",
-     "    }"],
-    ["    function setRate(uint256 r) public {",
-     "        require(msg.sender == owner);",
-     "        rate = r;",
-     "    }"],
-    ["    event Deposit(address indexed from, uint256 amount);"],
-    ["    function ping() public pure returns (uint256) {",
-     "        return 1;",
-     "    }"],
-]
+
+# Safe snippets, including near-miss twins of every vulnerable pattern.
+
+def _safe_view(nm: _Names) -> List[str]:
+    f = nm.fn()
+    return [f"    function {f}() public view returns (address) {{",
+            "        return owner;",
+            "    }"]
+
+
+def _safe_auth(nm: _Names) -> List[str]:
+    # msg.sender auth — the safe twin of the tx.origin pattern
+    f = nm.fn()
+    return [f"    function {f}(uint256 r) public {{",
+            "        require(msg.sender == owner);",
+            "        rate = r;",
+            "    }"]
+
+
+def _safe_withdraw(nm: _Names) -> List[str]:
+    # checks-effects-interactions — the safe twin of RENT
+    f, a = nm.fn(), nm.amt()
+    return [f"    function {f}(uint256 {a}) public {{",
+            f"        require(balances[msg.sender] >= {a});",
+            f"        balances[msg.sender] -= {a};",
+            f"        (bool ok, ) = msg.sender.call{{value: {a}}}(\"\");",
+            "        require(ok);",
+            "    }"]
+
+
+def _safe_transfer(nm: _Names) -> List[str]:
+    # checked transfer — the safe twin of unchecked send (UE)
+    f, a, ad = nm.fn(), nm.amt(), nm.addr()
+    return [f"    function {f}(address payable {ad}, uint256 {a}) public {{",
+            "        require(msg.sender == owner);",
+            f"        {ad}.transfer({a});",
+            "    }"]
+
+
+def _safe_bounded_loop(nm: _Names) -> List[str]:
+    # bounded, pull-style accounting — the safe twin of the DOS loops
+    f = nm.fn()
+    return [f"    function {f}(uint start, uint end) public {{",
+            "        require(end - start <= 50);",
+            "        for (uint i = start; i < end; i++) {",
+            "            balances[holders[i]] += dividend;",
+            "        }",
+            "    }"]
+
+
+def _safe_checked_math(nm: _Names) -> List[str]:
+    # overflow-guarded arithmetic — the safe twin of ARTHM
+    f, a = nm.fn(), nm.amt()
+    return [f"    function {f}(uint256 {a}) public {{",
+            f"        uint256 next = total + {a};",
+            f"        require(next >= total);",
+            "        total = next;",
+            "    }"]
+
+
+def _safe_deadline_view(nm: _Names) -> List[str]:
+    # reading a timestamp for display only — near-miss of TimeM/TimeO
+    f = nm.fn()
+    return [f"    function {f}() public view returns (uint256) {{",
+            "        return deadline;",
+            "    }"]
+
+
+def _safe_event(nm: _Names) -> List[str]:
+    return ["    event Deposit(address indexed from, uint256 amount);"]
+
+
+def _safe_pure(nm: _Names) -> List[str]:
+    f = nm.fn()
+    return [f"    function {f}() public pure returns (uint256) {{",
+            "        return 1;",
+            "    }"]
+
+
+_SAFE_BUILDERS = [_safe_view, _safe_auth, _safe_withdraw, _safe_transfer,
+                  _safe_bounded_loop, _safe_checked_math, _safe_deadline_view,
+                  _safe_event, _safe_pure]
 
 
 def generate_contract(rng: random.Random,
@@ -96,6 +301,7 @@ def generate_contract(rng: random.Random,
         k = rng.randint(0, 3)
         vuln_types = rng.sample(VULNERABILITY_TYPES, k)
     name = name or f"Contract{rng.randint(0, 10**6)}"
+    nm = _Names(rng)
 
     lines: List[str] = [
         f"pragma solidity ^0.{rng.randint(4, 8)}.{rng.randint(0, 20)};",
@@ -123,17 +329,18 @@ def generate_contract(rng: random.Random,
     for vt in vuln_types:
         blocks.append(("vuln", vt))
     for _ in range(rng.randint(1, 3)):
-        blocks.append(("safe", rng.randrange(len(_SAFE_SNIPPETS))))
+        blocks.append(("safe", rng.randrange(len(_SAFE_BUILDERS))))
     rng.shuffle(blocks)
 
     for kind, which in blocks:
         if kind == "vuln":
-            snippet, rel = _VULN_SNIPPETS[which]
+            builder = rng.choice(_VULN_BUILDERS[which])
+            snippet, rel = builder(nm)
             base = len(lines)
             lines.extend(snippet)
             vuln_lines[which].extend(base + r for r in rel)
         else:
-            lines.extend(_SAFE_SNIPPETS[which])
+            lines.extend(_SAFE_BUILDERS[which](nm))
         lines.append("")
     lines.append("}")
 

@@ -4,22 +4,33 @@ with in-kernel attention-weight dropout.
 Replaces the implicit fused attention the reference gets from PyTorch's CUDA
 kernels (SCT-GAN/model.py:56-77 and the 7 standalone MHA modules). Online
 (streaming) softmax over key/value blocks: the (Sq, Sk) score matrix is never
-materialized in HBM — not in the forward and not in the backward. Scales past
-the reference's hard L=1024 cap by construction.
+materialized in HBM — not in the forward and not in the backward.
+
+K and V are STREAMED: every kernel walks its contraction sequence through a
+trailing grid dimension, holding only (block × head_dim) tiles in VMEM while
+the running state (softmax statistics + accumulators) lives in VMEM scratch
+that persists across grid steps. VMEM per program is ~2 MB at any sequence
+length, so the kernels scale to L=8k/16k+ by construction (validated on-chip
+at L=8192 by tools/validate_tpu_kernels.py), unlike a whole-K-in-VMEM layout
+that dies around L≈8-16k. At the production L=1024 the default blocks
+(bq=512, bk=1024) make nk=1, so the streaming loop degenerates to the
+single-pass layout and costs nothing over a monolithic kernel.
 
 Dropout is applied to the softmax weights exactly as torch MHA does
 (keep/(1-r) scaling), but generated tile-by-tile with the Pallas TPU PRNG:
 the mask for tile (b, h, qi, kj) is a pure function of a scalar seed and the
 tile coordinates, so the backward kernels REGENERATE it bit-for-bit instead
 of storing an (Sq, Sk) mask. This is what lets training-mode attention
-(dropout 0.3 on 13 modules, model.py:56-77) stay on the flash path.
+(dropout 0.3 on 13 modules, model.py:56-77) stay on the flash path. Forward
+and backward must (and now trivially do) use identical block sizes, or the
+regenerated masks diverge.
 
 Forward saves per-row log-sum-exp; the backward is the standard two-kernel
 flash recipe (with M the dropout keep-mask, r the rate):
     D  = rowsum(dO ∘ O)                               (XLA)
-    dV = (M∘P/(1-r))ᵀ dO                              (dKV kernel, K grid)
+    dV = (M∘P/(1-r))ᵀ dO                              (dKV kernel, K-major)
     dS = P ∘ (M/(1-r) ∘ (dO Vᵀ) − D);  dK = dSᵀ Q·s
-    dQ = dS K · s                                     (dQ kernel, Q grid)
+    dQ = dS K · s                                     (dQ kernel, Q-major)
 with P = exp(S − lse) recomputed tile-by-tile in VMEM. (The dropout-aware
 softmax-backward identity: Σ_k W_ik dW_ik = dO_i·O_i = D_i still holds.)
 
@@ -70,56 +81,66 @@ def _tile_index(b, h, qi, kj, nh, nq, nk):
 # -- forward ----------------------------------------------------------------
 
 def _fa_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
-                   *, bq, bk, sk_padded, causal, scale, dropout_rate,
-                   nh, nq):
+                   m_s, l_s, acc_s, *, bq, bk, causal, scale, dropout_rate,
+                   nh, nq, nk):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
     qi = pl.program_id(2)
-    nk = sk_padded // bk
-    # matmuls stay in the input dtype (bf16 from the projections) with f32
-    # MXU accumulation — upcasting inputs to f32 would quarter the MXU rate;
-    # all softmax statistics remain f32.
-    q = q_ref[0, 0]                                      # (BQ, Dp)
-    num_kv_blocks = sk_padded // bk
-    upper = qi + 1 if causal else num_kv_blocks
+    kj = pl.program_id(3)
 
-    def body(j, carry):
-        m, l, acc = carry
-        k = k_ref[0, 0, pl.ds(j * bk, bk), :]
+    @pl.when(kj == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, _NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    # for causal attention, blocks strictly above the diagonal contribute
+    # nothing — skip their compute (their K/V DMA still runs, which is fine:
+    # it is overlapped and bandwidth is not the bottleneck here)
+    needed = (kj * bk <= qi * bq + bq - 1) if causal else (kj >= 0)
+
+    @pl.when(needed)
+    def _compute():
+        # matmuls stay in the input dtype (bf16 from the projections) with
+        # f32 MXU accumulation; all softmax statistics remain f32
+        q = q_ref[0, 0]                                     # (BQ, Dp)
+        k = k_ref[0, 0]                                     # (BK, Dp)
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        s = s + bias_ref[0, :, pl.ds(j * bk, bk)]   # (1, BK) broadcast
+        s = s + bias_ref[0, :]                              # (1, BK) bcast
         if causal:
             rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            cols = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            cols = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             s = jnp.where(cols <= rows, s, _NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
-        p = jnp.exp(s - m_new[:, None])
+        m_prev = m_s[:, 0:1]                                # (BQ, 1)
+        l_prev = l_s[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
         # Zero fully-masked entries explicitly: when an entire row is masked
         # so far, m_new == -inf stand-in and exp(0) would otherwise leak 1s.
         p = jnp.where(s > _MASK_THRESHOLD, p, 0.0)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1)   # l from UNdropped weights
+        alpha = jnp.exp(m_prev - m_new)                     # (BQ, 1)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         if dropout_rate > 0.0:
             keep = _keep_mask(seed_ref,
-                              _tile_index(bi, hi, qi, j, nh, nq, nk),
+                              _tile_index(bi, hi, qi, kj, nh, nq, nk),
                               bq, bk, dropout_rate)
             p_use = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
         else:
             p_use = p
-        v = v_ref[0, 0, pl.ds(j * bk, bk), :]
-        acc_new = acc * alpha[:, None] + jnp.dot(
+        v = v_ref[0, 0]                                     # (BK, Dp)
+        acc_s[...] = acc_s[...] * alpha + jnp.dot(
             p_use.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
+        m_s[...] = jnp.broadcast_to(m_new, m_s.shape)
+        l_s[...] = jnp.broadcast_to(l_new, l_s.shape)
 
-    m0 = jnp.full((bq,), _NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((bq,), dtype=jnp.float32)
-    acc0 = jnp.zeros((bq, q_ref.shape[-1]), dtype=jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, upper, body, (m0, l0, acc0))
-    l_safe = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows → zeros, no NaN
-    o_ref[0, 0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
-    lse = m + jnp.log(l_safe)
-    lse_ref[0, 0] = jnp.broadcast_to(lse[:, None], (bq, 128)).astype(
-        lse_ref.dtype)
+    @pl.when(kj == nk - 1)
+    def _finalize():
+        l = l_s[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)   # fully-masked rows → zeros
+        o_ref[0, 0] = (acc_s[...] / l_safe).astype(o_ref.dtype)
+        lse = m_s[:, 0:1] + jnp.log(l_safe)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:]).astype(
+            lse_ref.dtype)
 
 
 def _flash_forward(q, k, v, kp_bias, seed, causal: bool, block_q: int,
@@ -138,40 +159,48 @@ def _flash_forward(q, k, v, kp_bias, seed, causal: bool, block_q: int,
     seed2d = seed.reshape(1, 1).astype(jnp.int32)
 
     scale = 1.0 / (dh ** 0.5)
-    grid = (b, h, sqp // block_q)
-    seed_spec = pl.BlockSpec((1, 1), lambda b_, h_, i: (0, 0),
+    nq, nk = sqp // block_q, skp // block_k
+    grid = (b, h, nq, nk)
+    seed_spec = pl.BlockSpec((1, 1), lambda b_, h_, i, j: (0, 0),
                              memory_space=pltpu.SMEM)
     out, lse = pl.pallas_call(
         functools.partial(_fa_fwd_kernel, bq=block_q, bk=block_k,
-                          sk_padded=skp, causal=causal, scale=scale,
-                          dropout_rate=dropout_rate, nh=h,
-                          nq=sqp // block_q),
+                          causal=causal, scale=scale,
+                          dropout_rate=dropout_rate, nh=h, nq=nq, nk=nk),
         grid=grid,
         in_specs=[
             seed_spec,
-            pl.BlockSpec((1, 1, block_q, dp), lambda b_, h_, i: (b_, h_, i, 0),
+            pl.BlockSpec((1, 1, block_q, dp),
+                         lambda b_, h_, i, j: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, skp, dp), lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((1, 1, block_k, dp),
+                         lambda b_, h_, i, j: (b_, h_, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, skp, dp), lambda b_, h_, i: (b_, h_, 0, 0),
+            pl.BlockSpec((1, 1, block_k, dp),
+                         lambda b_, h_, i, j: (b_, h_, j, 0),
                          memory_space=pltpu.VMEM),
-            # (1, 1, Skp) block of the (B, 1, Skp) bias: last two dims
-            # equal the array dims, satisfying the TPU tiling minimum
-            pl.BlockSpec((1, 1, skp), lambda b_, h_, i: (b_, 0, 0),
+            # (1, 1, BK) block of the (B, 1, Skp) bias: sublane dim equals
+            # the array dim (1), satisfying the TPU tiling minimum
+            pl.BlockSpec((1, 1, block_k), lambda b_, h_, i, j: (b_, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, dp),
-                         lambda b_, h_, i: (b_, h_, i, 0),
+                         lambda b_, h_, i, j: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, 128),
-                         lambda b_, h_, i: (b_, h_, i, 0),
+                         lambda b_, h_, i, j: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h, sqp, dp), q.dtype),
             jax.ShapeDtypeStruct((b, h, sqp, 128), jnp.float32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running max m
+            pltpu.VMEM((block_q, 128), jnp.float32),   # running sum l
+            pltpu.VMEM((block_q, dp), jnp.float32),    # output accumulator
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sqp * skp * dp,
             bytes_accessed=(qp.size + kpad.size + vpad.size) * qp.dtype.itemsize,
@@ -186,27 +215,34 @@ def _flash_forward(q, k, v, kp_bias, seed, causal: bool, block_q: int,
 
 # -- backward ---------------------------------------------------------------
 
-def _fa_dkv_kernel(seed_ref, q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref,
-                   bias_ref, dk_ref, dv_ref, *, bq, bk, sq_padded, causal,
-                   scale, dropout_rate, nh, nk):
+def _fa_dkv_kernel(seed_ref, k_ref, v_ref, bias_ref, q_ref, do_ref, lse_ref,
+                   d_ref, dk_ref, dv_ref, dk_s, dv_s, *, bq, bk, causal,
+                   scale, dropout_rate, nh, nq, nk):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
     kj = pl.program_id(2)
-    nq = sq_padded // bq
-    k = k_ref[0, 0]                                       # (BK, Dp) bf16
-    v = v_ref[0, 0]
-    bias_col = bias_ref[0, :, pl.ds(kj * bk, bk)]         # (1, BK)
-    num_q_blocks = sq_padded // bq
-    lower = kj if causal else 0
-    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
-    mm_dtype = k.dtype  # bf16 matmul operands, f32 MXU accumulation
+    qi = pl.program_id(3)
 
-    def body(qi, carry):
-        dk, dv = carry
-        q = q_ref[0, 0, pl.ds(qi * bq, bq), :]
-        do = do_ref[0, 0, pl.ds(qi * bq, bq), :]
-        lse = lse_ref[0, 0, pl.ds(qi * bq, bq), 0]        # (BQ,)
-        dvec = d_ref[0, 0, pl.ds(qi * bq, bq), 0]         # (BQ,)
+    @pl.when(qi == 0)
+    def _init():
+        dk_s[...] = jnp.zeros_like(dk_s)
+        dv_s[...] = jnp.zeros_like(dv_s)
+
+    # causal: q-blocks strictly above the diagonal see none of this k-block
+    needed = (qi * bq + bq - 1 >= kj * bk) if causal else (qi >= 0)
+
+    @pl.when(needed)
+    def _compute():
+        k = k_ref[0, 0]                                   # (BK, Dp) bf16
+        v = v_ref[0, 0]
+        bias_col = bias_ref[0, :]                         # (1, BK)
+        inv_keep = (1.0 / (1.0 - dropout_rate)
+                    if dropout_rate > 0.0 else 1.0)
+        mm_dtype = k.dtype  # bf16 matmul operands, f32 MXU accumulation
+        q = q_ref[0, 0]                                   # (BQ, Dp)
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, :, 0]                         # (BQ,)
+        dvec = d_ref[0, 0, :, 0]                          # (BQ,)
         # sT: (BK, BQ) scores transposed
         sT = jnp.dot(k, q.T, preferred_element_type=jnp.float32) * scale
         sT = sT + bias_col.T                              # (BK, 1) broadcast
@@ -227,72 +263,75 @@ def _fa_dkv_kernel(seed_ref, q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref,
             dpT = dpT * keepT
         else:
             pT_drop = pT
-        dv = dv + jnp.dot(pT_drop.astype(mm_dtype), do,
-                          preferred_element_type=jnp.float32)
+        dv_s[...] = dv_s[...] + jnp.dot(pT_drop.astype(mm_dtype), do,
+                                        preferred_element_type=jnp.float32)
         dsT = (pT * (dpT - dvec[None, :])).astype(mm_dtype)
-        dk = dk + jnp.dot(dsT, q, preferred_element_type=jnp.float32) * scale
-        return dk, dv
+        dk_s[...] = dk_s[...] + jnp.dot(
+            dsT, q, preferred_element_type=jnp.float32) * scale
 
-    zeros = jnp.zeros((bk, k_ref.shape[-1]), jnp.float32)
-    dk, dv = jax.lax.fori_loop(lower, num_q_blocks, body, (zeros, zeros))
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_s[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_s[...].astype(dv_ref.dtype)
 
 
-def _fa_dq_kernel(seed_ref, k_ref, v_ref, bias_ref, q_ref, do_ref, lse_ref,
-                  d_ref, dq_ref, *, bq, bk, sk_padded, causal, scale,
-                  dropout_rate, nh, nq):
+def _fa_dq_kernel(seed_ref, q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref,
+                  bias_ref, dq_ref, dq_s, *, bq, bk, causal, scale,
+                  dropout_rate, nh, nq, nk):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
     qi = pl.program_id(2)
-    nk = sk_padded // bk
-    q = q_ref[0, 0]                                       # (BQ, Dp) bf16
-    do = do_ref[0, 0]
-    lse = lse_ref[0, 0, :, 0]                             # (BQ,)
-    dvec = d_ref[0, 0, :, 0]
-    num_kv_blocks = sk_padded // bk
-    upper = qi + 1 if causal else num_kv_blocks
-    inv_keep = 1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0
-    mm_dtype = q.dtype  # bf16 matmul operands, f32 MXU accumulation
+    kj = pl.program_id(3)
 
-    def body(j, dq):
-        k = k_ref[0, 0, pl.ds(j * bk, bk), :]
-        v = v_ref[0, 0, pl.ds(j * bk, bk), :]
+    @pl.when(kj == 0)
+    def _init():
+        dq_s[...] = jnp.zeros_like(dq_s)
+
+    needed = (kj * bk <= qi * bq + bq - 1) if causal else (kj >= 0)
+
+    @pl.when(needed)
+    def _compute():
+        q = q_ref[0, 0]                                   # (BQ, Dp) bf16
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, :, 0]                         # (BQ,)
+        dvec = d_ref[0, 0, :, 0]
+        inv_keep = (1.0 / (1.0 - dropout_rate)
+                    if dropout_rate > 0.0 else 1.0)
+        mm_dtype = q.dtype  # bf16 matmul operands, f32 MXU accumulation
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        s = s + bias_ref[0, :, pl.ds(j * bk, bk)]
+        s = s + bias_ref[0, :]
         if causal:
             rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            cols = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            cols = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
             s = jnp.where(cols <= rows, s, _NEG_INF)
         p = jnp.exp(s - lse[:, None])
         p = jnp.where(s > _MASK_THRESHOLD, p, 0.0)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         if dropout_rate > 0.0:
             keep = _keep_mask(seed_ref,
-                              _tile_index(bi, hi, qi, j, nh, nq, nk),
+                              _tile_index(bi, hi, qi, kj, nh, nq, nk),
                               bq, bk, dropout_rate)
             dp = jnp.where(keep, dp * inv_keep, 0.0)
         ds = (p * (dp - dvec[:, None])).astype(mm_dtype)
-        return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dq_s[...] = dq_s[...] + jnp.dot(
+            ds, k, preferred_element_type=jnp.float32) * scale
 
-    dq = jax.lax.fori_loop(0, upper, body,
-                           jnp.zeros((bq, q_ref.shape[-1]), jnp.float32))
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    @pl.when(kj == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_s[...].astype(dq_ref.dtype)
 
 
 def _flash_backward(res, g, seed, causal, block_q, block_k, dropout_rate):
     qp, kpad, vpad, bias, lse, out_p = res
     b, h, sqp, dp = qp.shape
     skp = kpad.shape[2]
-    # The backward kernels hold ~5 (BK, BQ) f32 temporaries; blocks above
-    # 512 overflow the 16 MB VMEM budget with f32 inputs (and measure no
-    # faster than 512 anyway). Clamp independently of the forward blocks.
-    block_q = min(block_q, 512)
-    block_k = min(block_k, 512)
     assert sqp % block_q == 0 and skp % block_k == 0
     sq, dh = g.shape[2], g.shape[3]
     scale = 1.0 / (dh ** 0.5)
     seed2d = seed.reshape(1, 1).astype(jnp.int32)
+    nq, nk = sqp // block_q, skp // block_k
 
     # dO stays in the compute dtype (bf16): the kernels' matmuls want bf16
     # operands for full MXU rate; the D statistic alone is computed in f32.
@@ -303,55 +342,63 @@ def _flash_backward(res, g, seed, causal, block_q, block_k, dropout_rate):
                    axis=-1)                                      # (B,H,Sqp)
     dvec = jnp.broadcast_to(dvec[..., None], (b, h, sqp, 128))
 
-    seed_spec = pl.BlockSpec((1, 1), lambda b_, h_, i: (0, 0),
+    seed_spec = pl.BlockSpec((1, 1), lambda b_, h_, i, j: (0, 0),
                              memory_space=pltpu.SMEM)
-    full_q = lambda last: pl.BlockSpec((1, 1, sqp, last),
-                                       lambda b_, h_, i: (b_, h_, 0, 0),
-                                       memory_space=pltpu.VMEM)
-    full_k = lambda last: pl.BlockSpec((1, 1, skp, last),
-                                       lambda b_, h_, i: (b_, h_, 0, 0),
-                                       memory_space=pltpu.VMEM)
-    blk_q = lambda last: pl.BlockSpec((1, 1, block_q, last),
-                                      lambda b_, h_, i: (b_, h_, i, 0),
-                                      memory_space=pltpu.VMEM)
-    blk_k = lambda last: pl.BlockSpec((1, 1, block_k, last),
-                                      lambda b_, h_, i: (b_, h_, i, 0),
-                                      memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, 1, skp), lambda b_, h_, i: (b_, 0, 0),
-                             memory_space=pltpu.VMEM)
+    # q-indexed streams: in the dKV kernel the q-block is the INNER grid dim
+    # (index j); in the dQ kernel it is the outer one (index i)
+    q_stream = lambda last, inner: pl.BlockSpec(
+        (1, 1, block_q, last),
+        (lambda b_, h_, i, j: (b_, h_, j, 0)) if inner else
+        (lambda b_, h_, i, j: (b_, h_, i, 0)),
+        memory_space=pltpu.VMEM)
+    k_stream = lambda last, inner: pl.BlockSpec(
+        (1, 1, block_k, last),
+        (lambda b_, h_, i, j: (b_, h_, j, 0)) if inner else
+        (lambda b_, h_, i, j: (b_, h_, i, 0)),
+        memory_space=pltpu.VMEM)
+    bias_spec = lambda inner: pl.BlockSpec(
+        (1, 1, block_k),
+        (lambda b_, h_, i, j: (b_, 0, j)) if inner else
+        (lambda b_, h_, i, j: (b_, 0, i)),
+        memory_space=pltpu.VMEM)
 
     dk, dv = pl.pallas_call(
         functools.partial(_fa_dkv_kernel, bq=block_q, bk=block_k,
-                          sq_padded=sqp, causal=causal, scale=scale,
-                          dropout_rate=dropout_rate, nh=h,
-                          nk=skp // block_k),
-        grid=(b, h, skp // block_k),
-        in_specs=[seed_spec, full_q(dp), full_q(dp), full_q(128), full_q(128),
-                  blk_k(dp), blk_k(dp), bias_spec],
-        out_specs=(blk_k(dp), blk_k(dp)),
+                          causal=causal, scale=scale,
+                          dropout_rate=dropout_rate, nh=h, nq=nq, nk=nk),
+        grid=(b, h, nk, nq),
+        in_specs=[seed_spec,
+                  k_stream(dp, False), k_stream(dp, False), bias_spec(False),
+                  q_stream(dp, True), q_stream(dp, True),
+                  q_stream(128, True), q_stream(128, True)],
+        out_specs=(k_stream(dp, False), k_stream(dp, False)),
         out_shape=(jax.ShapeDtypeStruct((b, h, skp, dp), qp.dtype),
                    jax.ShapeDtypeStruct((b, h, skp, dp), qp.dtype)),
+        scratch_shapes=[pltpu.VMEM((block_k, dp), jnp.float32),
+                        pltpu.VMEM((block_k, dp), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=10 * b * h * sqp * skp * dp,
             bytes_accessed=(2 * qp.size + kpad.size + vpad.size) * 4,
             transcendentals=b * h * sqp * skp),
-    )(seed2d, qp, do, lse, dvec, kpad, vpad, bias)
+    )(seed2d, kpad, vpad, bias, qp, do, lse, dvec)
 
     dq = pl.pallas_call(
         functools.partial(_fa_dq_kernel, bq=block_q, bk=block_k,
-                          sk_padded=skp, causal=causal, scale=scale,
-                          dropout_rate=dropout_rate, nh=h,
-                          nq=sqp // block_q),
-        grid=(b, h, sqp // block_q),
-        in_specs=[seed_spec, full_k(dp), full_k(dp), bias_spec,
-                  blk_q(dp), blk_q(dp), blk_q(128), blk_q(128)],
-        out_specs=blk_q(dp),
+                          causal=causal, scale=scale,
+                          dropout_rate=dropout_rate, nh=h, nq=nq, nk=nk),
+        grid=(b, h, nq, nk),
+        in_specs=[seed_spec,
+                  q_stream(dp, False), q_stream(dp, False),
+                  q_stream(128, False), q_stream(128, False),
+                  k_stream(dp, True), k_stream(dp, True), bias_spec(True)],
+        out_specs=q_stream(dp, False),
         out_shape=jax.ShapeDtypeStruct((b, h, sqp, dp), qp.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dp), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=6 * b * h * sqp * skp * dp,
             bytes_accessed=(2 * qp.size + kpad.size + vpad.size) * 4,
             transcendentals=b * h * sqp * skp),
-    )(seed2d, kpad, vpad, bias, qp, do, lse, dvec)
+    )(seed2d, qp, do, lse, dvec, kpad, vpad, bias)
 
     return dq[:, :, :sq, :dh], dk[:, :, :, :dh], dv[:, :, :, :dh]
 
@@ -406,21 +453,13 @@ def flash_attention(
     the kernel (torch-MHA semantics); the mask is regenerated in the backward
     from the derived scalar seed — nothing S×S is ever stored.
 
-    Default blocks (512, 1024) measured ~2.1× faster than (128, 128) at
-    L=1024 on v5e (fewer grid programs, longer MXU pipelines); blocks clamp
-    to the padded sequence lengths for short inputs.
+    Forward and backward stream K/V through the grid with identical block
+    sizes, so the regenerated dropout masks always line up and VMEM use is
+    independent of sequence length.
     """
     sk = k.shape[2]
     block_q = min(block_q, _round_up(q.shape[2], 128))
     block_k = min(block_k, _round_up(sk, 128))
-    if dropout_rate > 0.0 and dropout_rng is not None:
-        # The dropout mask for tile (b, h, qi, kj) is a function of the tile
-        # COORDINATES; the backward kernels clamp their blocks to 512 (VMEM),
-        # so the forward must tile identically or the regenerated masks
-        # diverge and the gradient is garbage (measured: ×1500 grad-norm
-        # amplification with mismatched 1024-vs-512 K blocks).
-        block_q = min(block_q, 512)
-        block_k = min(block_k, 512)
     if key_padding_mask is None:
         kp_bias = jnp.zeros((q.shape[0], sk), dtype=jnp.float32)
     else:

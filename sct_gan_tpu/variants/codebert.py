@@ -83,6 +83,7 @@ class FlaxCodeBERT(nn.Module):
     num_layers: int = 12
     num_heads: int = 12
     dim_feedforward: int = 3072
+    max_positions: int = 514
     dtype: Any = None
 
     @nn.compact
@@ -90,6 +91,7 @@ class FlaxCodeBERT(nn.Module):
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
         x = RobertaEmbeddings(self.vocab_size, self.d_model,
+                              max_positions=self.max_positions,
                               dtype=self.dtype, name="embeddings")(
             input_ids, attention_mask)
         kp = attention_mask.astype(bool)

@@ -24,6 +24,13 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-epoch / multi-compile tests. Fast iteration loop: "
+        "pytest -m 'not slow' (<5 min); run the full suite once per round.")
+
+
 @pytest.fixture(scope="session")
 def tokenizer():
     from sct_gan_tpu.data.tokenizer import SolidityTokenizer

@@ -17,6 +17,10 @@ from sct_gan_tpu.infer import SmartContractAnalyzer
 from sct_gan_tpu.models import SmartContractTransformer
 from sct_gan_tpu.train import SmartContractTrainer, find_checkpoint
 
+# the module fixture trains + checkpoints a real (tiny) run — minutes of
+# compile on the CPU mesh; excluded from the fast `-m "not slow"` loop
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig(d_model=32, nhead=2, num_encoder_layers=1,
                   num_decoder_layers=1, dim_feedforward=64, dropout=0.1,
                   max_length=64, max_lines=64, vocab_size=512, use_gan=True,

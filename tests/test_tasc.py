@@ -117,6 +117,7 @@ def test_solidity_code_loss(tok):
     assert sim == pytest.approx(1.0)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("multiclass", [False, True])
 def test_tasc_trainer_epoch(tok, loaders, multiclass):
     cfg = TASCConfig(**{**TINY.__dict__, "multiclass": multiclass})

@@ -70,6 +70,7 @@ def test_group_index_tree_covers_all_groups(trainer):
     assert present == {"base", "contract", "line", "disc"}
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(trainer, loaders):
     train_loader, _ = loaders
     m0 = trainer.train_epoch(0)
@@ -114,6 +115,7 @@ def test_reduce_lr_on_plateau():
     assert red and lrs["base"] == pytest.approx(5e-4)
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device(tiny_tokenizer, loaders):
     """The same batch stepped on a 1-device and an 8-device dp mesh must
     produce identical losses (XLA psum-of-shards == single-device sum)."""
@@ -143,6 +145,7 @@ def test_data_parallel_step_matches_single_device(tiny_tokenizer, loaders):
                                float(m8["total_loss"]), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_step_matches_single_device(tiny_tokenizer, loaders):
     """dp=4 × mp=2 (Megatron-style attention + FFN sharding) must produce
     the same loss as a single replicated device."""

@@ -40,9 +40,14 @@ def main() -> int:
         print(f"[{status}] {name} {detail}")
 
     # forward + backward parity
+    # 4096/8192 rows: the kernels stream K/V blockwise, so VMEM use is
+    # length-independent — these validate the "scales by construction" claim
+    # (small b·h keeps the QUADRATIC pure-JAX *reference* inside HBM).
     for (b, h, s, dh, causal) in [(2, 4, 256, 64, False),
                                   (2, 4, 256, 64, True),
-                                  (1, 8, 1024, 96, False)]:
+                                  (1, 8, 1024, 96, False),
+                                  (1, 2, 4096, 96, False),
+                                  (1, 1, 8192, 96, True)]:
         q = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
         k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
         v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
