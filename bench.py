@@ -120,6 +120,52 @@ def time_step(trainer, batch, n_small: int = 2, n_large: int = 10) -> float:
     return best
 
 
+def time_decode(trainer, batch_size: int) -> dict:
+    """KV-cached generation throughput (BASELINE.json's 'contracts/sec
+    decode'): encode once + full-length cached sampling, worst case (no
+    early stop). Differential timing as in time_step. The reference's
+    generation path re-decodes the whole prefix every token with no cache
+    (SCT-GAN/model.py:862-930, O(L^3))."""
+    import jax
+    import jax.numpy as jnp
+    from sct_gan_tpu.data.tokenizer import SolidityTokenizer
+    from sct_gan_tpu.infer.generate import make_generate_fn
+    from sct_gan_tpu.losses.syntax import SyntaxLossTables
+
+    cfg = trainer.model.config
+    model = trainer.model
+    params = trainer.state.params
+    tok = SolidityTokenizer(vocab_size=cfg.vocab_size)
+    tables = SyntaxLossTables.from_tokenizer(tok)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size,
+                                   (batch_size, cfg.max_length), np.int32))
+    mask = jnp.ones((batch_size, cfg.max_length), jnp.int32)
+    encode = jax.jit(lambda p, i, m: model.apply(
+        {"params": p}, i, m, i, m, deterministic=True, method=model.encode))
+    generate = make_generate_fn(model, tables, min_length=10**9)
+
+    def run(n, seed0):
+        t0 = time.perf_counter()
+        last = None
+        for i in range(n):
+            memory = encode(params, ids, mask)
+            last = generate(params, memory, mask.astype(bool),
+                            jax.random.key(seed0 + i, impl="rbg"), 0.7)
+        _ = np.asarray(last[:, -1])
+        return time.perf_counter() - t0
+
+    run(1, 0)    # compile + warmup
+    t_small = run(1, 100)
+    t_large = run(3, 200)
+    per_round = max((t_large - t_small) / 2, 1e-9)
+    return {
+        "decode_contracts_per_sec": round(batch_size / per_round, 3),
+        "decode_tokens_per_sec": round(
+            batch_size * (cfg.max_length - 1) / per_round, 1),
+    }
+
+
 def main() -> None:
     from sct_gan_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
@@ -133,6 +179,9 @@ def main() -> None:
     t_fused = time_step(fused, batch)
     fused_tps = tokens_per_step / t_fused
     log(f"fused: {t_fused * 1e3:.1f} ms/step = {fused_tps:,.0f} tok/s/chip")
+    log("timing KV-cached decode...")
+    decode = time_decode(fused, batch_size)
+    log(f"decode: {decode}")
     del fused
 
     log("building naive-port trainer (fp32, dense attention)...")
@@ -147,6 +196,7 @@ def main() -> None:
         "value": round(fused_tps, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(fused_tps / naive_tps, 3),
+        **decode,
     }))
 
 

@@ -54,6 +54,7 @@ class SmartContractAnalyzer:
         tokenizer=None,
         batch_size: int = 8,
         verbose: bool = True,
+        mesh=None,
     ):
         self._log = print if verbose else (lambda *a, **k: None)
         self.tokenizer = tokenizer or get_tokenizer(tokenizer_name)
@@ -92,8 +93,21 @@ class SmartContractAnalyzer:
         self.syntax_tables = SyntaxLossTables.from_tokenizer(self.tokenizer)
         self._rng = jax.random.PRNGKey(0)
 
+        # Optional dp mesh: analyze_multiple_contracts shards its batches over
+        # the "dp" axis so a multi-chip slice evaluates dp× contracts per
+        # dispatch — the reference's dominant eval cost is 500 SERIAL forwards
+        # (inference.py:960-985); this is the TPU-native answer to it.
+        self.mesh = mesh
+        self._dp = 1
+        if mesh is not None:
+            from ..parallel.mesh import replicated_sharding
+            self._dp = int(mesh.shape.get("dp", 1))
+            self.params = jax.device_put(self.params,
+                                         replicated_sharding(mesh))
+
         # one compiled program per task, shared across all calls
         self._detect_fn = jax.jit(self._detect_forward)
+        self._no_decoder_fn = jax.jit(self._detect_no_decoder_forward)
         self._safe_fn = jax.jit(self._safe_forward)
         self._generate_fn = make_generate_fn(self.model, self.syntax_tables)
         self._beam_fns: Dict[int, Any] = {}
@@ -136,6 +150,22 @@ class SmartContractAnalyzer:
             ast_input_ids=batch["ast_input_ids"],
             ast_attention_mask=batch["ast_attention_mask"],
             target_ids=batch["input_ids"],    # parity: inference.py:214
+            token_to_line=batch["token_to_line"],
+            deterministic=True)
+        return (jax.nn.sigmoid(out["contract_vulnerability_logits"]),
+                jax.nn.sigmoid(out["line_vulnerability_logits"]))
+
+    def _detect_no_decoder_forward(self, params, batch):
+        """Middle fallback tier — retry WITHOUT target_ids: both
+        vulnerability heads run, only the LM decoder is skipped (parity:
+        inference.py:228-245's retry-without-target_ids)."""
+        out = self.model.apply(
+            {"params": params},
+            input_ids=batch["input_ids"],
+            attention_mask=batch["attention_mask"],
+            ast_input_ids=batch["ast_input_ids"],
+            ast_attention_mask=batch["ast_attention_mask"],
+            target_ids=None,
             token_to_line=batch["token_to_line"],
             deterministic=True)
         return (jax.nn.sigmoid(out["contract_vulnerability_logits"]),
@@ -202,13 +232,24 @@ class SmartContractAnalyzer:
     def detect_vulnerabilities_with_fallback(self, contract_code: str,
                                              threshold: float = 0.5
                                              ) -> Dict[str, Any]:
-        """Detection with the reference's fallback chain
-        (inference.py:330-615): full forward → contract-only with zeroed
-        line predictions on failure."""
+        """Detection with the reference's 3-tier fallback chain
+        (inference.py:330-615): full forward → retry without target_ids
+        (decoder skipped, both heads kept; inference.py:228-245) →
+        contract-only with zeroed line predictions."""
         try:
             return self.detect_vulnerabilities(contract_code, threshold)
         except Exception as e:  # pragma: no cover - static shapes rarely fail
-            self._log(f"Full forward failed ({e}); using fallback pass")
+            self._log(f"Full forward failed ({e}); retrying without "
+                      f"target_ids")
+        try:
+            batch = self._prepare_inputs([contract_code])
+            cp, lp = jax.device_get(self._no_decoder_fn(self.params, batch))
+            return self._format_result(contract_code, np.asarray(cp)[0],
+                                       np.asarray(lp)[0], threshold,
+                                       line_probs_full=np.asarray(lp))
+        except Exception as e:  # pragma: no cover
+            self._log(f"No-decoder forward failed ({e}); using contract-only "
+                      f"fallback pass")
             return self._fallback_forward_pass(contract_code, threshold)
 
     def _fallback_forward_pass(self, contract_code: str,
@@ -234,20 +275,42 @@ class SmartContractAnalyzer:
                                    threshold: float = 0.5
                                    ) -> List[Dict[str, Any]]:
         """Batch API (parity: inference.py:960-985) — but executed in batched
-        jitted chunks instead of one serial forward per contract."""
+        jitted chunks instead of one serial forward per contract.
+
+        With a dp mesh each dispatch carries batch_size × dp contracts
+        sharded over the chips, and the loop is pipelined one-deep: chunk
+        i+1's host prep (AST parse + tokenization) overlaps chunk i's device
+        execution, the same dispatch/fetch pattern as the trainer's epoch
+        loop."""
         results: List[Dict[str, Any]] = []
-        bs = self.batch_size
-        for start in range(0, len(contract_codes), bs):
-            chunk = contract_codes[start:start + bs]
+        bs = self.batch_size * self._dp
+
+        def dispatch(chunk):
             padded = chunk + [chunk[-1]] * (bs - len(chunk))  # static shape
             batch = self._prepare_inputs(padded)
-            cp, lp = jax.device_get(self._detect_fn(self.params, batch))
+            if self.mesh is not None:
+                from ..parallel.mesh import shard_batch
+                batch = shard_batch(batch, self.mesh)
+            return self._detect_fn(self.params, batch)
+
+        def collect(start, chunk, handles):
+            cp, lp = jax.device_get(handles)
             for i, code in enumerate(chunk):
                 res = self._format_result(code, np.asarray(cp[i]),
                                           np.asarray(lp[i]), threshold)
                 res["contract_index"] = start + i
                 res["contract_code"] = code
                 results.append(res)
+
+        pending = None
+        for start in range(0, len(contract_codes), bs):
+            chunk = contract_codes[start:start + bs]
+            handles = dispatch(chunk)
+            if pending is not None:
+                collect(*pending)
+            pending = (start, chunk, handles)
+        if pending is not None:
+            collect(*pending)
         return results
 
     def get_vulnerability_summary(self, results: List[Dict[str, Any]]

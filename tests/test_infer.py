@@ -130,6 +130,46 @@ def test_detect_safe_and_fallback(analyzer):
         analyzer.vulnerability_types)
 
 
+def test_no_decoder_fallback_tier_matches_full(analyzer):
+    """The middle fallback tier (retry without target_ids,
+    inference.py:228-245) must agree with the full forward on both heads —
+    the decoder does not feed the vulnerability heads."""
+    import numpy as np
+
+    batch = analyzer._prepare_inputs([SAMPLE])
+    cp_full, lp_full = jax.device_get(
+        analyzer._detect_fn(analyzer.params, batch))
+    cp_nd, lp_nd = jax.device_get(
+        analyzer._no_decoder_fn(analyzer.params, batch))
+    np.testing.assert_allclose(np.asarray(cp_nd), np.asarray(cp_full),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lp_nd), np.asarray(lp_full),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_analyze_multiple_contracts_dp_sharded(analyzer):
+    """A dp=8 mesh analyzer must produce the same results as the unsharded
+    one — GSPMD sharding the batch axis is numerically inert."""
+    from sct_gan_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=8, mp=1)
+    tok = SolidityTokenizer(vocab_size=CFG.vocab_size)
+    sharded = SmartContractAnalyzer(model_config=CFG, tokenizer=tok,
+                                    params=analyzer.params, batch_size=1,
+                                    verbose=False, mesh=mesh)
+    assert sharded._dp == 8
+    codes = [SAMPLE.replace("Wallet", f"C{i}") for i in range(11)]
+    got = sharded.analyze_multiple_contracts(codes, threshold=0.5)
+    want = analyzer.analyze_multiple_contracts(codes, threshold=0.5)
+    assert len(got) == len(want) == 11
+    for g, w in zip(got, want):
+        assert g["contract_index"] == w["contract_index"]
+        assert g["contract_vulnerabilities"] == w["contract_vulnerabilities"]
+        np.testing.assert_allclose(np.asarray(g["contract_probabilities"]),
+                                   np.asarray(w["contract_probabilities"]),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_analyze_multiple_contracts_batched(analyzer):
     codes = [SAMPLE, SAMPLE.replace("Wallet", "Bank"),
              SAMPLE.replace("Wallet", "Vault")]
