@@ -117,10 +117,12 @@ def time_step(trainer, batch, n_small: int = 2, n_large: int = 10) -> float:
     for rep in range(2):
         t_chain, state = run(n_large, state, key(10 + rep))
         best = min(best, max(t_chain - null, 1e-9) / n_large)
-    return best
+    # the step donates its input state: trainer.state's buffers are gone.
+    # Hand back the live state so callers (time_decode) use valid params.
+    return best, state
 
 
-def time_decode(trainer, batch_size: int) -> dict:
+def time_decode(trainer, params, batch_size: int) -> dict:
     """KV-cached generation throughput (BASELINE.json's 'contracts/sec
     decode'): encode once + full-length cached sampling, worst case (no
     early stop). Differential timing as in time_step. The reference's
@@ -134,7 +136,6 @@ def time_decode(trainer, batch_size: int) -> dict:
 
     cfg = trainer.model.config
     model = trainer.model
-    params = trainer.state.params
     tok = SolidityTokenizer(vocab_size=cfg.vocab_size)
     tables = SyntaxLossTables.from_tokenizer(tok)
     rng = np.random.default_rng(0)
@@ -176,18 +177,18 @@ def main() -> None:
     fused = build_trainer("bfloat16", True, batch_size, seq)
     batch = make_batch(batch_size, seq, fused.model.config.vocab_size)
     log("timing fused step...")
-    t_fused = time_step(fused, batch)
+    t_fused, live_state = time_step(fused, batch)
     fused_tps = tokens_per_step / t_fused
     log(f"fused: {t_fused * 1e3:.1f} ms/step = {fused_tps:,.0f} tok/s/chip")
     log("timing KV-cached decode...")
-    decode = time_decode(fused, batch_size)
+    decode = time_decode(fused, live_state.params, batch_size)
     log(f"decode: {decode}")
     del fused
 
     log("building naive-port trainer (fp32, dense attention)...")
     naive = build_trainer("float32", False, batch_size, seq)
     log("timing naive step...")
-    t_naive = time_step(naive, batch, n_large=4)
+    t_naive, _ = time_step(naive, batch, n_large=4)
     naive_tps = tokens_per_step / t_naive
     log(f"naive: {t_naive * 1e3:.1f} ms/step = {naive_tps:,.0f} tok/s/chip")
 

@@ -35,6 +35,9 @@ class ModelConfig:
     # TPU-native knobs (no reference equivalent)
     compute_dtype: str = "bfloat16"   # matmul/activation dtype; params stay fp32
     use_flash_attention: bool = True  # Pallas kernel on TPU; jnp reference elsewhere
+    pad_attention_heads: bool = True  # fold the dh->128-lane pad into the
+                                      # q/k/v/out projection weights (exact;
+                                      # kills per-call activation pad copies)
     remat: bool = False               # jax.checkpoint encoder/decoder blocks
 
 

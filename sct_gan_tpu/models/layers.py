@@ -77,6 +77,82 @@ def line_position_encoding(num_lines: int, d_model: int,
     return sinusoidal_position_encoding(num_lines, d_model, dtype)
 
 
+class _HeadProjection(nn.Module):
+    """q/k/v projection that emits split heads (B, H, S, head_pad) directly.
+
+    When ``head_pad > dh`` the WEIGHT (not the activation) is zero-padded on
+    the per-head output axis, so the projection matmul writes activations in
+    the TPU-lane-padded layout the flash kernel wants — no (B, H, S, dh)→128
+    ``jnp.pad`` HBM copies downstream. Zero pad lanes are exact: they add
+    zeros to every q·k contraction and produce zero output lanes from P·V,
+    and their parameter gradients are identically zero (the matching lanes of
+    k/do are zero), so the pad regions of a checkpoint stay zero forever.
+
+    The parameter tree ("kernel" (d, d), "bias" (d,), xavier/zeros init)
+    is identical to the nn.Dense it replaces — checkpoints and the
+    Megatron-style mp sharding rules (parallel/mesh.py) are unaffected.
+    """
+
+    d_model: int
+    num_heads: int
+    head_pad: int              # per-head lane width (== dh → no padding)
+    dtype: Any = None
+    kernel_init: Callable = xavier_init
+
+    @nn.compact
+    def __call__(self, x):
+        h = self.num_heads
+        dh = self.d_model // h
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.d_model, self.d_model))
+        bias = self.param("bias", zeros_init, (self.d_model,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        if self.head_pad != dh:
+            kernel = jnp.pad(kernel.reshape(self.d_model, h, dh),
+                             ((0, 0), (0, 0), (0, self.head_pad - dh)))
+            bias = jnp.pad(bias.reshape(h, dh),
+                           ((0, 0), (0, self.head_pad - dh)))
+        kernel = kernel.reshape(self.d_model, h * self.head_pad)
+        bias = bias.reshape(h * self.head_pad)
+        y = x @ kernel + bias
+        b, s = x.shape[0], x.shape[1]
+        return y.reshape(b, s, h, self.head_pad).transpose(0, 2, 1, 3)
+
+
+class _OutProjection(nn.Module):
+    """Output projection consuming split (possibly lane-padded) heads.
+
+    The weight's per-head INPUT axis is zero-padded to match ``head_pad``:
+    pad lanes multiply zero rows, so the result equals the unpadded
+    projection exactly. Parameter tree identical to nn.Dense(d_model).
+    """
+
+    d_model: int
+    num_heads: int
+    head_pad: int
+    dtype: Any = None
+    kernel_init: Callable = xavier_init
+
+    @nn.compact
+    def __call__(self, x):                       # x: (B, H, S, head_pad)
+        h = self.num_heads
+        dh = self.d_model // h
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.d_model, self.d_model))
+        bias = self.param("bias", zeros_init, (self.d_model,))
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        kernel = kernel.reshape(h, dh, self.d_model)
+        if self.head_pad != dh:
+            kernel = jnp.pad(kernel,
+                             ((0, 0), (0, self.head_pad - dh), (0, 0)))
+        kernel = kernel.reshape(h * self.head_pad, self.d_model)
+        b, s = x.shape[0], x.shape[2]
+        merged = x.transpose(0, 2, 1, 3).reshape(b, s, h * self.head_pad)
+        return merged @ kernel + bias
+
+
 class MultiheadAttention(nn.Module):
     """PyTorch-semantics MHA: separate q/k/v/out projections with bias,
     softmax-weight dropout, optional key-padding / causal masks, optional
@@ -85,6 +161,12 @@ class MultiheadAttention(nn.Module):
     Besides the full `__call__`, exposes the decode-time primitives:
     `project_kv` (precompute cross-attention K/V once per generation) and
     `step` / `attend_kv` (single-query attention against cached K/V).
+
+    ``pad_heads=True`` rounds the per-head dim up to the 128-lane TPU width
+    inside the projection weights (see _HeadProjection): all attention math
+    then runs in the padded layout end-to-end — numerically exact, and it
+    removes the flash kernel's per-call activation pad/unpad HBM copies
+    (e.g. the reference geometry d=768/h=8 → dh=96→128).
     """
 
     d_model: int
@@ -92,26 +174,31 @@ class MultiheadAttention(nn.Module):
     dropout: float = 0.0
     dtype: Any = None
     kernel_init: Callable = xavier_init
+    pad_heads: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+    @property
+    def head_pad(self) -> int:
+        dh = self.head_dim
+        return ((dh + 127) // 128) * 128 if self.pad_heads else dh
+
+    @property
+    def sm_scale(self) -> float:
+        return 1.0 / (self.head_dim ** 0.5)
 
     def setup(self):
-        dense = lambda name: nn.Dense(
-            self.d_model, kernel_init=self.kernel_init, bias_init=zeros_init,
-            dtype=self.dtype, name=name)
-        self.q_proj = dense("q_proj")
-        self.k_proj = dense("k_proj")
-        self.v_proj = dense("v_proj")
-        self.out_proj = dense("out_proj")
-
-    # (B, S, d) -> (B, H, S, dh)
-    def _split(self, x):
-        b, s, _ = x.shape
-        h = self.num_heads
-        dh = self.d_model // h
-        return x.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-
-    def _merge(self, x):
-        b, h, s, dh = x.shape
-        return x.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+        proj = lambda name: _HeadProjection(
+            self.d_model, self.num_heads, self.head_pad,
+            kernel_init=self.kernel_init, dtype=self.dtype, name=name)
+        self.q_proj = proj("q_proj")
+        self.k_proj = proj("k_proj")
+        self.v_proj = proj("v_proj")
+        self.out_proj = _OutProjection(
+            self.d_model, self.num_heads, self.head_pad,
+            kernel_init=self.kernel_init, dtype=self.dtype, name="out_proj")
 
     def __call__(self, query, key, value, *,
                  key_padding_mask: Optional[jnp.ndarray] = None,
@@ -119,9 +206,9 @@ class MultiheadAttention(nn.Module):
                  deterministic: bool = True,
                  return_weights: bool = False,
                  use_flash: bool = True):
-        q = self._split(self.q_proj(query))
-        k = self._split(self.k_proj(key))
-        v = self._split(self.v_proj(value))
+        q = self.q_proj(query)                    # (B, H, S, head_pad)
+        k = self.k_proj(key)
+        v = self.v_proj(value)
 
         rng = None
         if self.dropout > 0.0 and not deterministic:
@@ -131,11 +218,11 @@ class MultiheadAttention(nn.Module):
             q, k, v, key_padding_mask=key_padding_mask, causal=causal,
             dropout_rate=self.dropout, deterministic=deterministic,
             dropout_rng=rng, return_weights=return_weights,
-            use_flash=use_flash)
+            use_flash=use_flash, sm_scale=self.sm_scale)
         weights = None
         if return_weights:
             out, weights = out
-        out = self.out_proj(self._merge(out))
+        out = self.out_proj(out)
         if return_weights:
             return out, weights
         return out
@@ -143,37 +230,40 @@ class MultiheadAttention(nn.Module):
     # -- decode-time primitives ---------------------------------------------
     def project_kv(self, key, value) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Split-head K/V for attention against a fixed memory."""
-        return self._split(self.k_proj(key)), self._split(self.v_proj(value))
+        return self.k_proj(key), self.v_proj(value)
 
     def attend_kv(self, query, k, v,
                   key_padding_mask: Optional[jnp.ndarray] = None):
         """Attention of a short query against precomputed split-head K/V."""
-        q = self._split(self.q_proj(query))
-        out = mha_reference(q, k, v, key_padding_mask=key_padding_mask)
-        return self.out_proj(self._merge(out))
+        q = self.q_proj(query)
+        out = mha_reference(q, k, v, key_padding_mask=key_padding_mask,
+                            sm_scale=self.sm_scale)
+        return self.out_proj(out)
 
     def step(self, query, k_cache, v_cache, pos):
         """Single-token causal self-attention with KV cache.
 
         Args:
             query: (B, 1, d) current-token activations.
-            k_cache/v_cache: (B, H, S, dh) caches; positions >= pos unused.
+            k_cache/v_cache: (B, H, S, head_pad) caches; positions >= pos
+                unused.
             pos: current position (traced scalar).
         Returns:
             (out (B, 1, d), new_k_cache, new_v_cache)
         """
-        k_new = self._split(self.k_proj(query))   # (B, H, 1, dh)
-        v_new = self._split(self.v_proj(query))
+        k_new = self.k_proj(query)                # (B, H, 1, head_pad)
+        v_new = self.v_proj(query)
         k_cache = jax.lax.dynamic_update_slice_in_dim(
             k_cache, k_new.astype(k_cache.dtype), pos, axis=2)
         v_cache = jax.lax.dynamic_update_slice_in_dim(
             v_cache, v_new.astype(v_cache.dtype), pos, axis=2)
-        q = self._split(self.q_proj(query))
+        q = self.q_proj(query)
         s = k_cache.shape[2]
         visible = jnp.arange(s)[None, :] <= pos   # (1, S) causal-visible keys
         visible = jnp.broadcast_to(visible, (q.shape[0], s))
-        out = mha_reference(q, k_cache, v_cache, key_padding_mask=visible)
-        return self.out_proj(self._merge(out)), k_cache, v_cache
+        out = mha_reference(q, k_cache, v_cache, key_padding_mask=visible,
+                            sm_scale=self.sm_scale)
+        return self.out_proj(out), k_cache, v_cache
 
 
 class FeedForward(nn.Module):
@@ -212,12 +302,14 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float
     dtype: Any = None
     use_flash: bool = True
+    pad_heads: bool = False
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         h = MultiheadAttention(self.d_model, self.num_heads, self.dropout,
-                               dtype=self.dtype, name="self_attn")(
+                               dtype=self.dtype, pad_heads=self.pad_heads,
+                               name="self_attn")(
             h, h, h, key_padding_mask=key_padding_mask,
             deterministic=deterministic, use_flash=self.use_flash)
         h = FastDropout(self.dropout)(h, deterministic=deterministic)
@@ -240,16 +332,17 @@ class TransformerDecoderLayer(nn.Module):
     dropout: float
     dtype: Any = None
     use_flash: bool = True
+    pad_heads: bool = False
 
     def setup(self):
         self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
         self.self_attn = MultiheadAttention(
             self.d_model, self.num_heads, self.dropout, dtype=self.dtype,
-            name="self_attn")
+            pad_heads=self.pad_heads, name="self_attn")
         self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
         self.cross_attn = MultiheadAttention(
             self.d_model, self.num_heads, self.dropout, dtype=self.dtype,
-            name="cross_attn")
+            pad_heads=self.pad_heads, name="cross_attn")
         self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
         self.ffn = FeedForward(self.d_model, self.dim_feedforward,
                                self.dropout, dtype=self.dtype, name="ffn")
@@ -298,6 +391,7 @@ class TransformerEncoderStack(nn.Module):
     dtype: Any = None
     use_flash: bool = True
     remat: bool = False
+    pad_heads: bool = False
 
     @nn.compact
     def __call__(self, x, *, key_padding_mask=None, deterministic=True):
@@ -305,7 +399,7 @@ class TransformerEncoderStack(nn.Module):
             layer = TransformerEncoderLayer(
                 self.d_model, self.num_heads, self.dim_feedforward,
                 self.dropout, dtype=self.dtype, use_flash=self.use_flash,
-                name=f"layer_{i}")
+                pad_heads=self.pad_heads, name=f"layer_{i}")
             if self.remat:
                 x = _remat_call(layer, x, key_padding_mask,
                                 deterministic=deterministic)
@@ -323,13 +417,14 @@ class TransformerDecoderStack(nn.Module):
     dtype: Any = None
     use_flash: bool = True
     remat: bool = False
+    pad_heads: bool = False
 
     def setup(self):
         self.layers = [
             TransformerDecoderLayer(
                 self.d_model, self.num_heads, self.dim_feedforward,
                 self.dropout, dtype=self.dtype, use_flash=self.use_flash,
-                name=f"layer_{i}")
+                pad_heads=self.pad_heads, name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
 
@@ -348,8 +443,8 @@ class TransformerDecoderStack(nn.Module):
     def init_cache(self, batch_size: int, max_length: int,
                    dtype=jnp.float32) -> List:
         """Self-attention KV caches: one (k, v) pair per layer,
-        (B, H, S, dh) each."""
-        dh = self.d_model // self.num_heads
+        (B, H, S, head_pad) each (pad lanes are zero and inert)."""
+        dh = self.layers[0].self_attn.head_pad
         shape = (batch_size, self.num_heads, max_length, dh)
         return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
                 for _ in range(self.num_layers)]

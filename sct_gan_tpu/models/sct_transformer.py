@@ -92,26 +92,29 @@ class SmartContractTransformer(nn.Module):
         self.embedding_dropout = FastDropout(cfg.dropout)
         self.ast_embedding_dropout = FastDropout(cfg.dropout)
 
+        pad_heads = getattr(cfg, "pad_attention_heads", False)
         self.encoder = TransformerEncoderStack(
             cfg.num_encoder_layers, d, cfg.nhead, cfg.dim_feedforward,
             cfg.dropout, dtype=dtype, use_flash=cfg.use_flash_attention,
-            remat=cfg.remat, name="encoder")
+            remat=cfg.remat, pad_heads=pad_heads, name="encoder")
         self.decoder = TransformerDecoderStack(
             cfg.num_decoder_layers, d, cfg.nhead, cfg.dim_feedforward,
             cfg.dropout, dtype=dtype, use_flash=cfg.use_flash_attention,
-            remat=cfg.remat, name="decoder")
+            remat=cfg.remat, pad_heads=pad_heads, name="decoder")
 
         self.ast_attention = MultiheadAttention(
-            d, cfg.nhead, cfg.dropout, dtype=dtype, name="ast_attention")
+            d, cfg.nhead, cfg.dropout, dtype=dtype, pad_heads=pad_heads,
+            name="ast_attention")
         self.cross_attention = MultiheadAttention(
-            d, cfg.nhead, cfg.dropout, dtype=dtype, name="cross_attention")
+            d, cfg.nhead, cfg.dropout, dtype=dtype, pad_heads=pad_heads,
+            name="cross_attention")
         # fusion MLP 2d→d→d/2→d with LN+GELU+dropout between (model.py:225-235)
         self.feature_fusion = MLP([d, d // 2, d], dropout=cfg.dropout,
                                   dtype=dtype, name="feature_fusion")
 
         # Contract-level head (model.py:84-116)
         self.contract_vuln_attention = MultiheadAttention(
-            d, cfg.nhead, cfg.dropout, dtype=dtype,
+            d, cfg.nhead, cfg.dropout, dtype=dtype, pad_heads=pad_heads,
             name="contract_vuln_attention")
         self.contract_feature_aggregation = MLP(
             [2 * d, d], dropout=cfg.dropout, activate_final=True, dtype=dtype,
@@ -126,10 +129,12 @@ class SmartContractTransformer(nn.Module):
             d, dtype=dtype, name="line_feature_extractor")
         self.line_vuln_attention = MultiheadAttention(
             d, cfg.nhead, cfg.dropout * 0.2, dtype=dtype,
-            kernel_init=xavier_gain_08, name="line_vuln_attention")
+            kernel_init=xavier_gain_08, pad_heads=pad_heads,
+            name="line_vuln_attention")
         self.vuln_type_attention = MultiheadAttention(
             d, cfg.nhead, cfg.dropout * 0.2, dtype=dtype,
-            kernel_init=xavier_gain_08, name="vuln_type_attention")
+            kernel_init=xavier_gain_08, pad_heads=pad_heads,
+            name="vuln_type_attention")
         # No-LayerNorm main head; final layer normal(0.1) / bias -0.2
         # (model.py:175-183, 364-369)
         self.line_vulnerability_head_1 = MLP(
@@ -158,7 +163,7 @@ class SmartContractTransformer(nn.Module):
         # Integrated GAN discriminator (model.py:237-271)
         if cfg.use_gan:
             self.disc_path_attention = MultiheadAttention(
-                d, cfg.nhead, cfg.dropout, dtype=dtype,
+                d, cfg.nhead, cfg.dropout, dtype=dtype, pad_heads=pad_heads,
                 name="disc_path_attention")
             self.disc_grammar_projection = nn.Dense(
                 d, kernel_init=xavier_init, bias_init=zeros_init, dtype=dtype,

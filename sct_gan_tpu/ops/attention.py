@@ -56,6 +56,7 @@ def mha_reference(
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
     return_weights: bool = False,
+    sm_scale: Optional[float] = None,
 ):
     """Scaled-dot-product attention over already-split heads.
 
@@ -67,13 +68,16 @@ def mha_reference(
             PyTorch MHA applies it (after softmax).
         return_weights: also return head-averaged weights (B, Sq, Sk), the
             PyTorch ``average_attn_weights=True`` convention.
+        sm_scale: softmax scale override (1/sqrt(dh) by default) — required
+            when the head dim is zero-padded to TPU lane width upstream.
     Returns:
         out (B, H, Sq, Dh) [, weights (B, Sq, Sk)].
     """
     dh = q.shape[-1]
+    scale = (1.0 / float(dh) ** 0.5) if sm_scale is None else float(sm_scale)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
-    scores = scores / jnp.sqrt(jnp.asarray(dh, dtype=scores.dtype))
+    scores = scores * jnp.asarray(scale, dtype=scores.dtype)
     bias = _build_bias(scores.shape, key_padding_mask, causal)
     if bias is not None:
         scores = scores + bias
@@ -108,6 +112,7 @@ def dot_product_attention(
     dropout_rng: Optional[jax.Array] = None,
     return_weights: bool = False,
     use_flash: bool = True,
+    sm_scale: Optional[float] = None,
 ):
     """Dispatch to the Pallas flash kernel when possible, else the reference.
 
@@ -123,8 +128,10 @@ def dot_product_attention(
         return flash_attention(
             q, k, v, key_padding_mask=key_padding_mask, causal=causal,
             dropout_rate=dropout_rate if wants_dropout else 0.0,
-            dropout_rng=dropout_rng if wants_dropout else None)
+            dropout_rng=dropout_rng if wants_dropout else None,
+            sm_scale=sm_scale)
     return mha_reference(
         q, k, v, key_padding_mask=key_padding_mask, causal=causal,
         dropout_rate=dropout_rate, deterministic=deterministic,
-        dropout_rng=dropout_rng, return_weights=return_weights)
+        dropout_rng=dropout_rng, return_weights=return_weights,
+        sm_scale=sm_scale)

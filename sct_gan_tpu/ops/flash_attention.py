@@ -144,7 +144,8 @@ def _fa_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
 
 
 def _flash_forward(q, k, v, kp_bias, seed, causal: bool, block_q: int,
-                   block_k: int, dropout_rate: float, need_lse: bool):
+                   block_k: int, dropout_rate: float, sm_scale,
+                   need_lse: bool):
     b, h, sq, dh = q.shape
     sk = k.shape[2]
     dp = _round_up(dh, 128)
@@ -158,7 +159,7 @@ def _flash_forward(q, k, v, kp_bias, seed, causal: bool, block_q: int,
                    constant_values=_NEG_INF)[:, None, :]   # (B, 1, Skp)
     seed2d = seed.reshape(1, 1).astype(jnp.int32)
 
-    scale = 1.0 / (dh ** 0.5)
+    scale = (1.0 / (dh ** 0.5)) if sm_scale is None else sm_scale
     nq, nk = sqp // block_q, skp // block_k
     grid = (b, h, nq, nk)
     seed_spec = pl.BlockSpec((1, 1), lambda b_, h_, i, j: (0, 0),
@@ -323,13 +324,14 @@ def _fa_dq_kernel(seed_ref, q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref,
         dq_ref[0, 0] = dq_s[...].astype(dq_ref.dtype)
 
 
-def _flash_backward(res, g, seed, causal, block_q, block_k, dropout_rate):
+def _flash_backward(res, g, seed, causal, block_q, block_k, dropout_rate,
+                    sm_scale):
     qp, kpad, vpad, bias, lse, out_p = res
     b, h, sqp, dp = qp.shape
     skp = kpad.shape[2]
     assert sqp % block_q == 0 and skp % block_k == 0
     sq, dh = g.shape[2], g.shape[3]
-    scale = 1.0 / (dh ** 0.5)
+    scale = (1.0 / (dh ** 0.5)) if sm_scale is None else sm_scale
     seed2d = seed.reshape(1, 1).astype(jnp.int32)
     nq, nk = sqp // block_q, skp // block_k
 
@@ -403,29 +405,30 @@ def _flash_backward(res, g, seed, causal, block_q, block_k, dropout_rate):
     return dq[:, :, :sq, :dh], dk[:, :, :, :dh], dv[:, :, :, :dh]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash(q, k, v, kp_bias, seed, causal, block_q, block_k, dropout_rate):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash(q, k, v, kp_bias, seed, causal, block_q, block_k, dropout_rate,
+           sm_scale):
     return _flash_forward(q, k, v, kp_bias, seed, causal, block_q, block_k,
-                          dropout_rate, need_lse=False)
+                          dropout_rate, sm_scale, need_lse=False)
 
 
 def _flash_fwd(q, k, v, kp_bias, seed, causal, block_q, block_k,
-               dropout_rate):
+               dropout_rate, sm_scale):
     out, lse, (qp, kpad, vpad, bias) = _flash_forward(
         q, k, v, kp_bias, seed, causal, block_q, block_k, dropout_rate,
-        need_lse=True)
+        sm_scale, need_lse=True)
     sq, dh = q.shape[2], q.shape[3]
     out_p = jnp.pad(out, ((0, 0), (0, 0), (0, qp.shape[2] - sq),
                           (0, qp.shape[3] - dh)))
     return out, (qp, kpad, vpad, bias, lse, out_p, kp_bias, seed)
 
 
-def _flash_bwd(causal, block_q, block_k, dropout_rate, res, g):
+def _flash_bwd(causal, block_q, block_k, dropout_rate, sm_scale, res, g):
     qp, kpad, vpad = res[0], res[1], res[2]
     kp_bias, seed = res[6], res[7]
     sk = kp_bias.shape[-1]
     dq, dk, dv = _flash_backward(res[:6], g, seed, causal, block_q, block_k,
-                                 dropout_rate)
+                                 dropout_rate, sm_scale)
     return (dq.astype(qp.dtype), dk[:, :, :sk, :].astype(kpad.dtype),
             dv[:, :, :sk, :].astype(vpad.dtype), jnp.zeros_like(kp_bias),
             jnp.zeros_like(seed))
@@ -445,6 +448,7 @@ def flash_attention(
     block_k: int = 1024,
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
+    sm_scale: Optional[float] = None,
 ) -> jnp.ndarray:
     """Flash attention over split heads (B, H, S, Dh).
 
@@ -452,6 +456,9 @@ def flash_attention(
     ``dropout_rate``/``dropout_rng``: attention-weight dropout applied inside
     the kernel (torch-MHA semantics); the mask is regenerated in the backward
     from the derived scalar seed — nothing S×S is ever stored.
+    ``sm_scale``: softmax scale override — REQUIRED when the head dim is
+    lane-padded upstream (zero pad lanes leave q·k sums unchanged, but the
+    1/sqrt(dh) default would read the padded dh).
 
     Forward and backward stream K/V through the grid with identical block
     sizes, so the regenerated dropout masks always line up and VMEM use is
@@ -471,4 +478,5 @@ def flash_attention(
     else:
         seed = jnp.int32(0)
         rate = 0.0
-    return _flash(q, k, v, kp_bias, seed, causal, block_q, block_k, rate)
+    return _flash(q, k, v, kp_bias, seed, causal, block_q, block_k, rate,
+                  None if sm_scale is None else float(sm_scale))
