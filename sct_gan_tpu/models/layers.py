@@ -306,7 +306,10 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        # dtype=self.dtype: f32 statistics (flax upcasts internally), output
+        # already in the compute dtype every consumer casts to anyway — saves
+        # a full-size f32 activation write per LN site on TPU.
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         h = MultiheadAttention(self.d_model, self.num_heads, self.dropout,
                                dtype=self.dtype, pad_heads=self.pad_heads,
                                name="self_attn")(
@@ -314,7 +317,7 @@ class TransformerEncoderLayer(nn.Module):
             deterministic=deterministic, use_flash=self.use_flash)
         h = FastDropout(self.dropout)(h, deterministic=deterministic)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         h = FeedForward(self.d_model, self.dim_feedforward, self.dropout,
                         dtype=self.dtype, name="ffn")(h, deterministic=deterministic)
         h = FastDropout(self.dropout)(h, deterministic=deterministic)
@@ -335,15 +338,18 @@ class TransformerDecoderLayer(nn.Module):
     pad_heads: bool = False
 
     def setup(self):
-        self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                  name="norm1")
         self.self_attn = MultiheadAttention(
             self.d_model, self.num_heads, self.dropout, dtype=self.dtype,
             pad_heads=self.pad_heads, name="self_attn")
-        self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                  name="norm2")
         self.cross_attn = MultiheadAttention(
             self.d_model, self.num_heads, self.dropout, dtype=self.dtype,
             pad_heads=self.pad_heads, name="cross_attn")
-        self.norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                  name="norm3")
         self.ffn = FeedForward(self.d_model, self.dim_feedforward,
                                self.dropout, dtype=self.dtype, name="ffn")
         self.drop = FastDropout(self.dropout)
@@ -488,7 +494,8 @@ class MLP(nn.Module):
                          dtype=self.dtype, name=f"dense_{i}")(x)
             if not last or self.activate_final:
                 if self.use_layernorm:
-                    x = nn.LayerNorm(epsilon=1e-5, name=f"norm_{i}")(x)
+                    x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                     name=f"norm_{i}")(x)
                 x = gelu(x)
                 x = FastDropout(self.dropout)(x, deterministic=deterministic)
         return x
@@ -507,11 +514,11 @@ class ResidualLineFeatureExtractor(nn.Module):
         residual = x
         h = nn.Dense(self.d_model, kernel_init=normal_init(0.1),
                      bias_init=zeros_init, dtype=self.dtype, name="linear1")(x)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(h)
         h = gelu(h)
         h = FastDropout(0.1)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, kernel_init=normal_init(0.1),
                      bias_init=zeros_init, dtype=self.dtype, name="linear2")(h)
-        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
         h = FastDropout(0.1)(h, deterministic=deterministic)
         return h + 0.1 * residual

@@ -83,11 +83,12 @@ class SmartContractTransformer(nn.Module):
         self.embedding = nn.Embed(cfg.vocab_size, d,
                                   embedding_init=normal_init(0.02),
                                   name="embedding")
-        self.embedding_norm = nn.LayerNorm(epsilon=1e-5, name="embedding_norm")
+        self.embedding_norm = nn.LayerNorm(epsilon=1e-5, dtype=dtype,
+                                   name="embedding_norm")
         self.ast_embedding = nn.Embed(cfg.vocab_size, d,
                                       embedding_init=normal_init(0.02),
                                       name="ast_embedding")
-        self.ast_embedding_norm = nn.LayerNorm(epsilon=1e-5,
+        self.ast_embedding_norm = nn.LayerNorm(epsilon=1e-5, dtype=dtype,
                                                name="ast_embedding_norm")
         self.embedding_dropout = FastDropout(cfg.dropout)
         self.ast_embedding_dropout = FastDropout(cfg.dropout)
@@ -153,7 +154,8 @@ class SmartContractTransformer(nn.Module):
             "empty_line_embedding", zeros_init, (d,))
 
         # LM output projection (model.py:79-82)
-        self.output_norm = nn.LayerNorm(epsilon=1e-5, name="output_norm")
+        self.output_norm = nn.LayerNorm(epsilon=1e-5, dtype=dtype,
+                                name="output_norm")
         self.output_dropout = FastDropout(cfg.dropout)
         self.output_layer = nn.Dense(cfg.vocab_size,
                                      kernel_init=normal_init(0.02),

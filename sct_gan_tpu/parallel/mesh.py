@@ -71,7 +71,7 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def prefetch_to_device(batch_iter, mesh: Mesh, size: int = 2,
-                       prepare=None):
+                       prepare=None, on_oom=None):
     """Double-buffered host→device pipeline.
 
     Keeps up to ``size`` batches in flight: batch i+1 is transformed on host
@@ -81,13 +81,29 @@ def prefetch_to_device(batch_iter, mesh: Mesh, size: int = 2,
 
     ``prepare``: optional host-side transform (e.g. augmentation + padding)
     applied before placement.
+    ``on_oom``: callback invoked if the H2D placement hits device
+    RESOURCE_EXHAUSTED (e.g. drop queued checkpoint snapshots); the
+    placement is retried once, and the batch is skipped (logged) if it
+    still fails — an epoch must survive transient HBM pressure.
     """
     import collections
     buf = collections.deque()
+
+    def place(batch):
+        try:
+            return shard_batch(batch, mesh)
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or on_oom is None:
+                raise
+            on_oom()
+            import gc
+            gc.collect()
+            return shard_batch(batch, mesh)
+
     for batch in batch_iter:
         if prepare is not None:
             batch = prepare(batch)
-        buf.append(shard_batch(batch, mesh))   # async H2D dispatch
+        buf.append(place(batch))   # async H2D dispatch
         if len(buf) > size:
             yield buf.popleft()
     while buf:

@@ -215,6 +215,19 @@ class AsyncSaver:
                     self._inflight = False
                     self._cond.notify_all()
 
+    def drop_pending(self) -> int:
+        """Free all queued (not-yet-started) device snapshots; returns the
+        count dropped. Emergency valve for HBM pressure: each queued snapshot
+        pins a full state copy while the tunnel D2H drains at ~1-2 MB/s."""
+        with self._cond:
+            n = len(self._pending)
+            if n:
+                names = [v[1] for v in self._pending.values()]
+                self._pending.clear()
+                self._log(f"dropped {n} queued checkpoint snapshot(s) "
+                          f"to free HBM: {names}")
+        return n
+
     def wait(self) -> None:
         with self._cond:
             while self._pending or self._inflight:

@@ -56,6 +56,17 @@ _HISTORY_KEYS = [
 ]
 
 
+
+def _fetch_metrics(metrics):
+    """One-RPC metric fetch: jax.device_get on a dict issues a D2H round
+    trip PER LEAF — on the tunneled runtime that is ~0.4 s x 20 scalars per
+    batch, and it queues behind any in-flight checkpoint fetch. Stack the
+    scalars into one device vector and fetch once."""
+    keys = list(metrics.keys())
+    vec = np.asarray(jnp.stack([metrics[k].astype(jnp.float32)
+                                for k in keys]))
+    return {k: float(vec[i]) for i, k in enumerate(keys)}
+
 class SmartContractTrainer:
     """Train the SmartContractTransformer with the reference's GAN recipe."""
 
@@ -208,9 +219,22 @@ class SmartContractTrainer:
         target = {"params": self.state.params,
                   "opt_state": self.state.opt_state,
                   "step": self.state.step}
-        tree, meta = load_checkpoint(checkpoint_path, target=target)
+        try:
+            tree, meta = load_checkpoint(checkpoint_path, target=target)
+            opt_state = tree["opt_state"]
+        except Exception:
+            # params-only checkpoint (a "best"): resume with a fresh
+            # optimizer state and say so — better than refusing to restore.
+            tree, meta = load_checkpoint(
+                checkpoint_path,
+                target={"params": self.state.params,
+                        "step": self.state.step})
+            opt_state = self.grad_tx.init(
+                shard_params(tree["params"], self.mesh))
+            self._log("checkpoint has no optimizer state (params-only "
+                      "best): resuming with a freshly initialized optimizer")
         params = shard_params(tree["params"], self.mesh)
-        self.state = TrainState(params, tree["opt_state"],
+        self.state = TrainState(params, opt_state,
                                 jnp.asarray(tree["step"]))
         if meta:
             self.best_val_loss = float(meta.get("val_loss", self.best_val_loss))
@@ -392,7 +416,7 @@ class SmartContractTrainer:
             batch late — see the pipelining note below)."""
             nonlocal scalars, batch_count, last, tokens
             try:
-                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                m = _fetch_metrics(metrics)
             except Exception as e:   # per-batch resilience (train.py:1342)
                 self._log(f"Error in batch {batch_idx}: {e}")
                 return
@@ -454,7 +478,8 @@ class SmartContractTrainer:
         from ..parallel.mesh import prefetch_to_device
         pending = None
         for batch_idx, device_batch in enumerate(prefetch_to_device(
-                self.train_dataloader, self.mesh, prepare=prepare)):
+                self.train_dataloader, self.mesh, prepare=prepare,
+                on_oom=self._saver.drop_pending)):
             try:
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics, scalars = self.train_step(
@@ -507,9 +532,9 @@ class SmartContractTrainer:
 
         def _fetch_one():
             nonlocal batch_count
-            m = jax.device_get(pending.popleft())
+            m = _fetch_metrics(pending.popleft())
             for k in ("gen_loss", "contract_vuln_loss", "line_vuln_loss"):
-                sums[k] = sums.get(k, 0.0) + float(m[k])
+                sums[k] = sums.get(k, 0.0) + m[k]
             batch_count += 1
 
         for batch in self.val_dataloader:
@@ -591,6 +616,12 @@ class SmartContractTrainer:
             state_tree = {"params": self.state.params,
                           "opt_state": self.state.opt_state,
                           "step": self.state.step}
+            # best checkpoints exist to be EVALUATED/DEPLOYED: params only.
+            # The opt state doubles the snapshot HBM and triples the tunnel
+            # D2H (the epoch-11 OOM incident: 3 queued full-state snapshots
+            # + the live state exhausted HBM). `latest` keeps the full
+            # resume state.
+            best_tree = {"params": self.state.params, "step": self.state.step}
             if improved:
                 self.best_val_loss = val_metrics["gen_loss"]
                 self.patience_counter = 0
@@ -598,7 +629,7 @@ class SmartContractTrainer:
                 # D2H + write runs on the saver thread (checkpoint.AsyncSaver)
                 self._saver.submit(
                     checkpoint_dir, f"best_model{suffix}_epoch_{epoch + 1}",
-                    state_tree, meta)
+                    best_tree, dict(meta, params_only=True))
                 self._log("🎉 New best validation loss! Saving "
                           f"best_model{suffix}_epoch_{epoch + 1} "
                           "(background)")
@@ -623,12 +654,12 @@ class SmartContractTrainer:
             save_checkpoint(checkpoint_dir,
                             f"best_model{suffix}_epoch_{self.current_epoch + 1}",
                             {"params": self.state.params,
-                             "opt_state": self.state.opt_state,
                              "step": self.state.step},
                             {"epoch": self.current_epoch + 1,
                              "training_history": self.training_history,
                              "use_augmentation": self.use_augmentation,
-                             "use_gan": self.use_gan})
+                             "use_gan": self.use_gan,
+                             "params_only": True})
         return self.training_history
 
     # ------------------------------------------------------------------

@@ -62,8 +62,9 @@ def main() -> None:
         config=TrainConfig(learning_rate=args.lr, use_gan=True,
                            use_augmentation=not args.no_aug,
                            warmup_epochs=5,
-                           # remote-tunnel D2H makes every save minutes-long
-                           latest_every=10),
+                           # remote-tunnel D2H makes every save minutes-long;
+                           # this run only needs the (params-only) best
+                           latest_every=10**9),
         mesh=mesh, verbose=True)
 
     ckpt_dir = os.path.join(args.out, "checkpoints")
