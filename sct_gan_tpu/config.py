@@ -10,7 +10,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Optional
 
 VULNERABILITY_TYPES = [
     "ARTHM", "DOS", "LE", "RENT", "TimeM", "TimeO", "Tx-Origin", "UE",
@@ -84,6 +84,13 @@ class TrainConfig:
     # parity, train.py:1719; raise on slow-transfer runtimes — "best" saves
     # on improvement regardless)
     latest_every: int = 1
+    # Optional ceiling for the adaptive line-head LR boosts. None = reference
+    # parity: the x2-per-epoch low-recall boost (train.py:1574-1593)
+    # COMPOUNDS unboundedly and can blow past stability (observed: 3e-4 ->
+    # 4.8e-3 in 3 epochs -> universal grad-explosion skips). Set a cap
+    # (e.g. 5e-4) for long runs where convergence matters more than
+    # reproducing that failure mode.
+    line_lr_max: Optional[float] = None
     seed: int = 0
     # Parallelism: number of data-parallel shards (1 = single chip)
     dp_shards: int = 1

@@ -694,12 +694,18 @@ class SmartContractTrainer:
         self.prev_line_precision = line_precision
 
         # dead-line-head LR boosts (train.py:1574-1585)
+        def _cap_line_lr():
+            cap = self.cfg.line_lr_max
+            if cap is not None and self.lrs["line"] > cap:
+                self.lrs["line"] = cap
         if line_recall < 0.01 and epoch > 5:
             self.lrs["line"] *= 2.0
+            _cap_line_lr()
             self._log(f"⚠️  Low line recall — boosted line LR to "
                       f"{self.lrs['line']:.2e}")
         if line_recall == 0.0 and epoch > 5:
             self.lrs["line"] *= 2.0
+            _cap_line_lr()
             self.line_loss_scale = min(self.max_line_loss_scale,
                                        self.line_loss_scale * 1.5)
             self.stability_factor = min(1.0, self.stability_factor * 1.2)
@@ -707,6 +713,7 @@ class SmartContractTrainer:
         if self.batches_with_predictions == 0 and epoch > 5:
             self._log("🚨  No line predictions in any batch — emergency boost")
             self.lrs["line"] *= 3.0
+            _cap_line_lr()
             self.line_loss_scale = min(self.max_line_loss_scale,
                                        self.line_loss_scale * 2.0)
             self.stability_factor = 0.8

@@ -61,7 +61,7 @@ def main() -> None:
         model, train_loader, val_loader, tok,
         config=TrainConfig(learning_rate=args.lr, use_gan=True,
                            use_augmentation=not args.no_aug,
-                           warmup_epochs=5,
+                           warmup_epochs=5, line_lr_max=5e-4,
                            # remote-tunnel D2H makes every save minutes-long;
                            # this run only needs the (params-only) best
                            latest_every=10**9),
@@ -75,7 +75,8 @@ def main() -> None:
 
     # -- best checkpoint -> comprehensive eval ------------------------------
     import glob
-    bests = sorted(glob.glob(os.path.join(ckpt_dir, "best_model*")),
+    bests = sorted((p for p in glob.glob(os.path.join(ckpt_dir, "best_model*"))
+                    if not p.endswith(".meta.json")),
                    key=os.path.getmtime)
     ckpt = bests[-1] if bests else os.path.join(
         ckpt_dir, "latest_model_augmented_gan")
