@@ -183,7 +183,9 @@ def main() -> None:
     log("timing KV-cached decode...")
     decode = time_decode(fused, live_state.params, batch_size)
     log(f"decode: {decode}")
-    del fused
+    # free the fused trainer's params+opt before the naive fp32 build: the
+    # dense-attention naive step needs the HBM headroom
+    del fused, live_state
 
     log("building naive-port trainer (fp32, dense attention)...")
     naive = build_trainer("float32", False, batch_size, seq)

@@ -98,12 +98,23 @@ def prefetch_to_device(batch_iter, mesh: Mesh, size: int = 2,
             on_oom()
             import gc
             gc.collect()
-            return shard_batch(batch, mesh)
+            try:
+                return shard_batch(batch, mesh)
+            except Exception as e2:   # still exhausted: drop THIS batch,
+                if "RESOURCE_EXHAUSTED" not in str(e2):   # keep the epoch
+                    raise
+                import sys
+                print("prefetch: dropping one batch, HBM still exhausted "
+                      "after freeing snapshots", file=sys.stderr, flush=True)
+                return None
 
     for batch in batch_iter:
         if prepare is not None:
             batch = prepare(batch)
-        buf.append(place(batch))   # async H2D dispatch
+        placed = place(batch)   # async H2D dispatch
+        if placed is None:
+            continue
+        buf.append(placed)
         if len(buf) > size:
             yield buf.popleft()
     while buf:
