@@ -91,6 +91,14 @@ class TrainConfig:
     # (e.g. 5e-4) for long runs where convergence matters more than
     # reproducing that failure mode.
     line_lr_max: Optional[float] = None
+    # Flattened vector optimizer (optimizer.FusedOptimizer): numerically
+    # identical to the optax chain (tests/test_fused_optimizer.py). MEASURED
+    # SLOWER on-chip (33.1 vs 18.5 ms/step): the per-leaf apply launches
+    # survive the flattening, and the concat/slice passes add on top — the
+    # mega-leaf 6.1 ms figure (tools/time_opt_megaleaf.py) is reachable only
+    # if params themselves live as per-dtype vectors end-to-end. Kept as the
+    # numerically-proven foundation for that future design; off by default.
+    fused_optimizer: bool = False
     seed: int = 0
     # Parallelism: number of data-parallel shards (1 = single chip)
     dp_shards: int = 1

@@ -22,6 +22,7 @@ from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 GROUPS = ("base", "contract", "line", "disc")
@@ -165,3 +166,156 @@ class ReduceLROnPlateau:
     def load_state_dict(self, d: Dict) -> None:
         self.best = d.get("best", float("inf"))
         self.num_bad = d.get("num_bad", 0)
+
+
+# -- flattened (vector) optimizer --------------------------------------------
+
+class _LeafMeta(NamedTuple):
+    path: str
+    shape: Tuple[int, ...]
+    size: int
+    offset: int
+    group: int          # index into GROUPS
+    fusion: bool        # ±1 clamp applies (feature_fusion grad hook)
+
+
+class FusedOptimizer:
+    """The whole gradient transform as a few large vector ops.
+
+    Numerically identical to build_gradient_transform + apply_group_lrs +
+    apply_updates (tests/test_fused_optimizer.py proves it leaf-for-leaf),
+    but the per-leaf optax chain costs ~12 ms/step in kernel-launch overhead
+    alone on the 2,100-leaf full-size tree (measured: the same chain on one
+    139M-element mega-leaf runs 6.1 ms vs 18.5 ms — tools/time_opt_megaleaf.py).
+    Here every reduction and elementwise stage runs on ONE concatenated f32
+    vector; leaves are ordered so each clip set is a contiguous segment:
+
+        [ base | contract∖vuln | contract∩vuln | line (all vuln) | disc ]
+
+    so the masked clip norms (SCT-GAN/train.py:1277-1291) are slice
+    reductions, not masked tree traversals. Per-leaf work is exactly one
+    slice+reshape+fma per parameter at apply time (group LR, decoupled
+    weight decay, and the NaN/explosion keep-where are folded in).
+
+    Restriction: built for replicated parameters (dp-only meshes). Under
+    mp>1 the concat would all-gather every sharded gradient each step —
+    callers keep the optax chain there (trainer gates on mesh mp size).
+    """
+
+    def __init__(self, params, *, use_gan: bool, max_grad_norm: float = 1.0,
+                 adam_b1: float = 0.9, adam_b2: float = 0.98,
+                 adam_eps: float = 1e-9, weight_decay: float = 0.1):
+        self.use_gan = use_gan
+        self.max_norm = float(max_grad_norm)
+        self.b1, self.b2, self.eps = float(adam_b1), float(adam_b2), float(adam_eps)
+        self.wd = float(weight_decay)
+
+        flat = []
+        for kp, leaf in jax.tree_util.tree_leaves_with_path(params):
+            path = _flat_path(kp)
+            grp = GROUPS.index(group_of(path, use_gan))
+            vuln = any(k in path for k in _VULN_CLIP_KEYS)
+            seg = {  # contiguity rank: vuln leaves adjacent, disc last
+                ("base", False): 0, ("contract", False): 1,
+                ("contract", True): 2, ("line", True): 3, ("line", False): 3,
+                ("disc", False): 4, ("disc", True): 4,
+            }[(GROUPS[grp], vuln)]
+            flat.append((seg, path, leaf, grp, vuln,
+                         "feature_fusion" in path))
+        flat.sort(key=lambda t: (t[0], t[1]))
+
+        metas, off = [], 0
+        self._vuln_lo = self._vuln_hi = self._disc_lo = None
+        for seg, path, leaf, grp, vuln, fusion in flat:
+            size = int(np.prod(leaf.shape)) if leaf.shape else 1
+            if vuln and self._vuln_lo is None:
+                self._vuln_lo = off
+            if vuln:
+                self._vuln_hi = off + size
+            if seg == 4 and self._disc_lo is None:
+                self._disc_lo = off
+            metas.append(_LeafMeta(path, tuple(leaf.shape), size, off,
+                                   grp, fusion))
+            off += size
+        self.metas = metas
+        self.total = off
+        self._treedef = jax.tree_util.tree_structure(params)
+        # map from storage order back to tree order
+        order = {m.path: i for i, m in enumerate(metas)}
+        self._tree_order = [
+            order[_flat_path(kp)]
+            for kp, _ in jax.tree_util.tree_leaves_with_path(params)]
+
+    def init(self, params):
+        del params
+        vec = jnp.zeros((self.total,), jnp.float32)
+        return {"count": jnp.zeros((), jnp.int32), "mu": vec, "nu": vec}
+
+    def _leaves_in_storage_order(self, tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        out = [None] * len(leaves)
+        for tree_i, store_i in enumerate(self._tree_order):
+            out[store_i] = leaves[tree_i]
+        return out
+
+    def update(self, grads, opt_state, params, lrs: GroupLRs, total_loss):
+        """Returns (new_params, new_opt_state, grad_norm, ok).
+
+        ``ok`` is the NaN/explosion skip gate (train.py:1301-1309), folded
+        in here because the norm it needs is computed here anyway. The norm
+        is taken after the fusion ±1 grad-hook clamp — matching torch,
+        where backward hooks run before clip_grad_norm_ sees the grads.
+        """
+        g_leaves = self._leaves_in_storage_order(grads)
+        parts = []
+        for m, g in zip(self.metas, g_leaves):
+            g = g.astype(jnp.float32).ravel()
+            if m.fusion:   # grad-hook clamp runs before any norm (model.py:284)
+                g = jnp.clip(g, -1.0, 1.0)
+            parts.append(g)
+        g = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+        mx = self.max_norm
+        norm = jnp.sqrt(jnp.vdot(g, g))
+        s = jnp.where(norm < mx, 1.0, mx / norm)
+        g = g * s
+        if self._vuln_lo is not None:
+            seg = jax.lax.slice(g, (self._vuln_lo,), (self._vuln_hi,))
+            vn = jnp.sqrt(jnp.vdot(seg, seg))
+            sv = jnp.where(vn < 2.0 * mx, 1.0, 2.0 * mx / vn)
+            g = jax.lax.dynamic_update_slice(g, seg * sv, (self._vuln_lo,))
+        if self.use_gan and self._disc_lo is not None:
+            seg = jax.lax.slice(g, (self._disc_lo,), (self.total,))
+            dn = jnp.sqrt(jnp.vdot(seg, seg))
+            sd = jnp.where(dn < 0.3 * mx, 1.0, 0.3 * mx / dn)
+            g = jax.lax.dynamic_update_slice(g, seg * sd, (self._disc_lo,))
+
+        count_inc = opt_state["count"] + 1
+        mu = self.b1 * opt_state["mu"] + (1.0 - self.b1) * g
+        nu = self.b2 * opt_state["nu"] + (1.0 - self.b2) * (g * g)
+        t = count_inc.astype(jnp.float32)
+        mu_hat = mu / (1.0 - self.b1 ** t)
+        nu_hat = nu / (1.0 - self.b2 ** t)
+        u_vec = mu_hat / (jnp.sqrt(nu_hat) + self.eps)
+
+        ok = jnp.isfinite(total_loss) & (norm <= 1000.0)
+        lr_vec = lrs.as_vector()
+        p_leaves = self._leaves_in_storage_order(params)
+        new_store = []
+        for m, p in zip(self.metas, p_leaves):
+            u = jax.lax.slice(u_vec, (m.offset,),
+                              (m.offset + m.size,)).reshape(m.shape)
+            lr = lr_vec[m.group]
+            newp = (p.astype(jnp.float32)
+                    - lr * (u + self.wd * p.astype(jnp.float32))).astype(p.dtype)
+            new_store.append(jnp.where(ok, newp, p))
+        # back to tree order
+        new_tree_leaves = [new_store[i] for i in self._tree_order]
+        new_params = jax.tree_util.tree_unflatten(self._treedef,
+                                                  new_tree_leaves)
+        new_opt = {
+            "count": jnp.where(ok, count_inc, opt_state["count"]),
+            "mu": jnp.where(ok, mu, opt_state["mu"]),
+            "nu": jnp.where(ok, nu, opt_state["nu"]),
+        }
+        return new_params, new_opt, norm, ok

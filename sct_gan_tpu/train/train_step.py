@@ -208,7 +208,7 @@ def _line_batch_metrics(line_logits, line_labels):
 
 def make_train_step(model, grad_tx, group_idx, tables: SyntaxLossTables,
                     *, use_gan: bool, use_augmentation: bool,
-                    donate: bool = True):
+                    donate: bool = True, fused_opt=None):
     """Build the jitted train step.
 
     step(state, batch, scalars, lrs, rng) -> (state, metrics, next_scalars)
@@ -229,22 +229,32 @@ def make_train_step(model, grad_tx, group_idx, tables: SyntaxLossTables,
                     deterministic=False),
                 has_aux=True)(state.params))
 
-        gnorm = optax.global_norm(grads)
-        metrics["grad_norm"] = gnorm
         metrics.update(_line_batch_metrics(line_logits, line_labels))
 
-        updates, new_opt_state = grad_tx.update(grads, state.opt_state,
-                                                state.params)
-        updates = apply_group_lrs(updates, group_idx, lrs)
-        new_params = optax.apply_updates(state.params, updates)
+        if fused_opt is not None:
+            # flattened vector optimizer: clip norms, Adam, wd, group LRs,
+            # and the NaN/explosion keep all fused over one concatenated
+            # gradient vector (optimizer.FusedOptimizer)
+            new_params, new_opt_state, gnorm, ok = fused_opt.update(
+                grads, state.opt_state, state.params, lrs, total)
+            metrics["grad_norm"] = gnorm
+            metrics["skipped"] = (~ok).astype(jnp.float32)
+        else:
+            gnorm = optax.global_norm(grads)
+            metrics["grad_norm"] = gnorm
 
-        # NaN/Inf-loss and gradient-explosion skip (train.py:1301-1309).
-        ok = jnp.isfinite(total) & (gnorm <= 1000.0)
-        metrics["skipped"] = (~ok).astype(jnp.float32)
-        keep = lambda new, old: jax.tree_util.tree_map(
-            lambda n, o: jnp.where(ok, n, o), new, old)
-        new_params = keep(new_params, state.params)
-        new_opt_state = keep(new_opt_state, state.opt_state)
+            updates, new_opt_state = grad_tx.update(grads, state.opt_state,
+                                                    state.params)
+            updates = apply_group_lrs(updates, group_idx, lrs)
+            new_params = optax.apply_updates(state.params, updates)
+
+            # NaN/Inf-loss and gradient-explosion skip (train.py:1301-1309).
+            ok = jnp.isfinite(total) & (gnorm <= 1000.0)
+            metrics["skipped"] = (~ok).astype(jnp.float32)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), new, old)
+            new_params = keep(new_params, state.params)
+            new_opt_state = keep(new_opt_state, state.opt_state)
 
         # Per-batch focal retune for the next batch (train.py:1172-1182).
         has_line_vulns = metrics["batch_line_vulns"] > 0

@@ -44,8 +44,8 @@ from ..models.sct_transformer import SmartContractTransformer
 from ..parallel.mesh import make_mesh, shard_batch, shard_params
 from .checkpoint import (AsyncSaver, checkpoint_suffix,
                          save_checkpoint)
-from .optimizer import (GroupLRs, ReduceLROnPlateau, build_gradient_transform,
-                        group_index_tree)
+from .optimizer import (FusedOptimizer, GroupLRs, ReduceLROnPlateau,
+                        build_gradient_transform, group_index_tree)
 from .train_step import (DynamicScalars, TrainState, make_eval_step,
                          make_train_step)
 
@@ -141,13 +141,26 @@ class SmartContractTrainer:
             adam_b1=cfg.adam_b1, adam_b2=cfg.adam_b2, adam_eps=cfg.adam_eps,
             weight_decay=cfg.weight_decay)
         self.group_idx = group_index_tree(params, self.use_gan)
-        opt_state = self.grad_tx.init(params)
+        # flattened vector optimizer (~12 ms/step cheaper; see
+        # optimizer.FusedOptimizer) — not under mp sharding, where its
+        # gradient concat would all-gather every step
+        mp_size = dict(zip(self.mesh.axis_names, self.mesh.devices.shape)
+                       ).get("mp", 1)
+        self.fused_opt = (FusedOptimizer(
+            params, use_gan=self.use_gan, max_grad_norm=cfg.max_grad_norm,
+            adam_b1=cfg.adam_b1, adam_b2=cfg.adam_b2, adam_eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay)
+            if getattr(cfg, "fused_optimizer", False) and mp_size == 1
+            else None)
+        opt_state = (self.fused_opt.init(params) if self.fused_opt is not None
+                     else self.grad_tx.init(params))
         self.state = TrainState(params, opt_state, jnp.int32(0))
 
         self.syntax_tables = SyntaxLossTables.from_tokenizer(tokenizer)
         self.train_step = make_train_step(
             model, self.grad_tx, self.group_idx, self.syntax_tables,
-            use_gan=self.use_gan, use_augmentation=self.use_augmentation)
+            use_gan=self.use_gan, use_augmentation=self.use_augmentation,
+            fused_opt=self.fused_opt)
         self.eval_step = make_eval_step(
             model, self.syntax_tables, use_gan=self.use_gan,
             use_augmentation=self.use_augmentation)
