@@ -99,6 +99,13 @@ class TrainConfig:
     # if params themselves live as per-dtype vectors end-to-end. Kept as the
     # numerically-proven foundation for that future design; off by default.
     fused_optimizer: bool = False
+    # Augmentation variant bank: pre-generate up to N tokenized variants per
+    # contract the first time it is seen, then sample among them on later
+    # epochs. Kills the host-bound epoch (the reference re-runs its regex
+    # transforms + re-tokenizes every contract every epoch,
+    # SCT-GAN/train.py:774-866 — measured ~48x device time at corpus scale).
+    # 0 = reference-parity fresh regeneration each batch.
+    aug_bank_size: int = 6
     seed: int = 0
     # Parallelism: number of data-parallel shards (1 = single chip)
     dp_shards: int = 1

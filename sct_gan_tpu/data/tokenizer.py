@@ -227,4 +227,11 @@ def get_tokenizer(name: str = "microsoft/codebert-base",
             return AutoTokenizer.from_pretrained(name)
         except Exception:
             pass
-    return SolidityTokenizer(name_or_path=name)
+    # native C++ encode path (exact-id parity with SolidityTokenizer,
+    # data/native_tokenizer.py) — transparently degrades to pure Python
+    # when the toolchain is unavailable
+    try:
+        from .native_tokenizer import NativeSolidityTokenizer
+        return NativeSolidityTokenizer(name_or_path=name)
+    except Exception:
+        return SolidityTokenizer(name_or_path=name)

@@ -176,7 +176,12 @@ class AsyncSaver:
             return self._inflight or bool(self._pending)
 
     def submit(self, checkpoint_dir: str, name: str, state_tree: Any,
-               metadata: Dict) -> bool:
+               metadata: Dict, on_saved=None, on_dropped=None) -> bool:
+        """``on_saved`` fires (on the worker thread) after the checkpoint is
+        durably written; ``on_dropped`` fires if the queued snapshot is
+        discarded by ``drop_pending`` before starting. A newer submit of the
+        same category replacing a queued one fires neither — the newer entry
+        supersedes it."""
         import copy
         import threading
         snap = jax.tree_util.tree_map(
@@ -188,7 +193,8 @@ class AsyncSaver:
             if category in self._pending:
                 self._log(f"checkpoint {name}: replaces queued "
                           f"{self._pending[category][1]}")
-            self._pending[category] = (checkpoint_dir, name, snap, meta)
+            self._pending[category] = (checkpoint_dir, name, snap, meta,
+                                       on_saved, on_dropped)
             if self._thread is None or not self._thread.is_alive():
                 self._thread = threading.Thread(
                     target=self._worker, daemon=True, name="ckpt-saver")
@@ -203,11 +209,17 @@ class AsyncSaver:
                     self._cond.wait()
                 # best first: it is the checkpoint evaluation depends on
                 cat = "best" if "best" in self._pending else "latest"
-                ckpt_dir, name, snap, meta = self._pending.pop(cat)
+                (ckpt_dir, name, snap, meta,
+                 on_saved, _on_dropped) = self._pending.pop(cat)
                 self._inflight = True
             try:
                 save_checkpoint(ckpt_dir, name, snap, meta)
                 self._log(f"checkpoint {name}: saved")
+                if on_saved is not None:
+                    try:
+                        on_saved()
+                    except Exception as e:
+                        self._log(f"checkpoint {name}: on_saved raised: {e}")
             except Exception as e:   # never kill training over a save
                 self._log(f"checkpoint {name}: save FAILED: {e}")
             finally:
@@ -221,11 +233,22 @@ class AsyncSaver:
         pins a full state copy while the tunnel D2H drains at ~1-2 MB/s."""
         with self._cond:
             n = len(self._pending)
+            dropped = list(self._pending.values())
             if n:
-                names = [v[1] for v in self._pending.values()]
+                names = [v[1] for v in dropped]
                 self._pending.clear()
                 self._log(f"dropped {n} queued checkpoint snapshot(s) "
                           f"to free HBM: {names}")
+        # outside the lock: a dropped "best" must roll the caller's
+        # best-val bookkeeping back to the last best actually persisted,
+        # or the best on disk silently stays a stale, worse epoch
+        for entry in dropped:
+            on_dropped = entry[5]
+            if on_dropped is not None:
+                try:
+                    on_dropped()
+                except Exception as e:
+                    self._log(f"checkpoint {entry[1]}: on_dropped raised: {e}")
         return n
 
     def wait(self) -> None:

@@ -124,6 +124,13 @@ def build_gradient_transform(params, *, use_gan: bool,
     return optax.chain(*chain)
 
 
+def fusion_mask_tree(params):
+    """Pytree of python bools: leaves under the feature_fusion grad-hook
+    clamp (SCT-GAN/model.py:284-286). Static — used to compute the skip-gate
+    norm at the same (post-clamp) point as the torch hook ordering."""
+    return _mask_tree(params, lambda p: "feature_fusion" in p)
+
+
 def apply_group_lrs(updates, group_idx, lrs: GroupLRs):
     """updates[leaf] *= -lr[group(leaf)] — the runtime-scalar LR stage."""
     lr_vec = lrs.as_vector()

@@ -208,7 +208,7 @@ def _line_batch_metrics(line_logits, line_labels):
 
 def make_train_step(model, grad_tx, group_idx, tables: SyntaxLossTables,
                     *, use_gan: bool, use_augmentation: bool,
-                    donate: bool = True, fused_opt=None):
+                    donate: bool = True, fused_opt=None, fusion_mask=None):
     """Build the jitted train step.
 
     step(state, batch, scalars, lrs, rng) -> (state, metrics, next_scalars)
@@ -240,7 +240,18 @@ def make_train_step(model, grad_tx, group_idx, tables: SyntaxLossTables,
             metrics["grad_norm"] = gnorm
             metrics["skipped"] = (~ok).astype(jnp.float32)
         else:
-            gnorm = optax.global_norm(grads)
+            # gate norm at the same point as FusedOptimizer and the torch
+            # hook ordering: after the feature_fusion ±1 clamp (which runs
+            # first in the optax chain), before the norm clips. fusion_mask
+            # leaves are python bools, so the clamp is applied statically to
+            # only the few fusion leaves.
+            if fusion_mask is not None:
+                gate_grads = jax.tree_util.tree_map(
+                    lambda g, m: jnp.clip(g, -1.0, 1.0) if m else g,
+                    grads, fusion_mask)
+            else:
+                gate_grads = grads
+            gnorm = optax.global_norm(gate_grads)
             metrics["grad_norm"] = gnorm
 
             updates, new_opt_state = grad_tx.update(grads, state.opt_state,

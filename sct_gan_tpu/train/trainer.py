@@ -27,6 +27,7 @@ The reference is single-GPU (train.py:495) — this axis is new capability.
 """
 from __future__ import annotations
 
+import json
 import math
 import os
 import random
@@ -45,7 +46,8 @@ from ..parallel.mesh import make_mesh, shard_batch, shard_params
 from .checkpoint import (AsyncSaver, checkpoint_suffix,
                          save_checkpoint)
 from .optimizer import (FusedOptimizer, GroupLRs, ReduceLROnPlateau,
-                        build_gradient_transform, group_index_tree)
+                        build_gradient_transform, fusion_mask_tree,
+                        group_index_tree)
 from .train_step import (DynamicScalars, TrainState, make_eval_step,
                          make_train_step)
 
@@ -115,6 +117,9 @@ class SmartContractTrainer:
             jax.config.update("jax_threefry_partitionable", True)
             self.rng = jax.random.PRNGKey(seed)
         self._py_rng = random.Random(seed)
+        # pre-tokenized augmentation variants, keyed by contract source
+        # (see _bank_variants; TrainConfig.aug_bank_size)
+        self._aug_bank: Dict[str, List[np.ndarray]] = {}
         self._saver = AsyncSaver(log=self._log)
 
         # -- parameters ------------------------------------------------------
@@ -160,7 +165,8 @@ class SmartContractTrainer:
         self.train_step = make_train_step(
             model, self.grad_tx, self.group_idx, self.syntax_tables,
             use_gan=self.use_gan, use_augmentation=self.use_augmentation,
-            fused_opt=self.fused_opt)
+            fused_opt=self.fused_opt,
+            fusion_mask=fusion_mask_tree(params))
         self.eval_step = make_eval_step(
             model, self.syntax_tables, use_gan=self.use_gan,
             use_augmentation=self.use_augmentation)
@@ -214,6 +220,9 @@ class SmartContractTrainer:
         self.spatial_weight = 0.2
 
         self.best_val_loss = float("inf")
+        # last best val loss durably written to disk — the rollback target
+        # when an OOM-valve drop discards a queued best snapshot
+        self._persisted_best_val = float("inf")
         self.patience_counter = 0
         self.patience = cfg.patience
         self.training_history: Dict[str, List[float]] = {
@@ -229,23 +238,48 @@ class SmartContractTrainer:
         Model-v3/trainning-phase.ipynb cells 11-12). Returns the epoch to
         continue from."""
         from .checkpoint import load_checkpoint
-        target = {"params": self.state.params,
-                  "opt_state": self.state.opt_state,
-                  "step": self.state.step}
-        try:
-            tree, meta = load_checkpoint(checkpoint_path, target=target)
+        full_target = {"params": self.state.params,
+                       "opt_state": self.state.opt_state,
+                       "step": self.state.step}
+        slim_target = {"params": self.state.params, "step": self.state.step}
+
+        def _fresh_opt(tree):
+            # mirror the constructor: the fused optimizer's state layout
+            # (count/mu/nu vectors) differs from the optax chain tuple
+            p = shard_params(tree["params"], self.mesh)
+            return (self.fused_opt.init(p) if self.fused_opt is not None
+                    else self.grad_tx.init(p))
+
+        # the save path records params_only in the meta sidecar — use it to
+        # pick the restore target so genuine load errors (corrupt manifest,
+        # dtype mismatch) propagate instead of silently degrading to
+        # params-only. The try/except stays only for sidecar-less
+        # checkpoints (hand-made or foreign).
+        meta_path = os.path.abspath(checkpoint_path) + ".meta.json"
+        params_only = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                params_only = bool(json.load(f).get("params_only", False))
+        if params_only is True:
+            tree, meta = load_checkpoint(checkpoint_path, target=slim_target)
+            opt_state = _fresh_opt(tree)
+            self._log("checkpoint is params-only (best): resuming with a "
+                      "freshly initialized optimizer")
+        elif params_only is False:
+            tree, meta = load_checkpoint(checkpoint_path, target=full_target)
             opt_state = tree["opt_state"]
-        except Exception:
-            # params-only checkpoint (a "best"): resume with a fresh
-            # optimizer state and say so — better than refusing to restore.
-            tree, meta = load_checkpoint(
-                checkpoint_path,
-                target={"params": self.state.params,
-                        "step": self.state.step})
-            opt_state = self.grad_tx.init(
-                shard_params(tree["params"], self.mesh))
-            self._log("checkpoint has no optimizer state (params-only "
-                      "best): resuming with a freshly initialized optimizer")
+        else:
+            try:
+                tree, meta = load_checkpoint(checkpoint_path,
+                                             target=full_target)
+                opt_state = tree["opt_state"]
+            except Exception:
+                tree, meta = load_checkpoint(checkpoint_path,
+                                             target=slim_target)
+                opt_state = _fresh_opt(tree)
+                self._log("checkpoint has no optimizer state (params-only "
+                          "best): resuming with a freshly initialized "
+                          "optimizer")
         params = shard_params(tree["params"], self.mesh)
         self.state = TrainState(params, opt_state,
                                 jnp.asarray(tree["step"]))
@@ -340,19 +374,54 @@ class SmartContractTrainer:
                         jnp.float32(self.lrs["disc"]))
 
     # ------------------------------------------------------------------
+    def _bank_variants(self, code: str, n: int) -> List[np.ndarray]:
+        """Up to ``n`` tokenized variant-target rows for one contract.
+
+        With ``aug_bank_size > 0``, the regex transforms + tokenization run
+        ONCE per contract (building a bank of pre-tokenized variants) and
+        later epochs just sample rows — the steady-state epoch host cost
+        becomes a few numpy gathers instead of the reference's per-batch
+        re-augment + re-tokenize (SCT-GAN/train.py:774-866, the 48x
+        host-bound incident). ``aug_bank_size == 0`` preserves the
+        reference's fresh-regeneration semantics exactly."""
+        max_len = self.model.config.max_length
+
+        def _tok_rows(texts: List[str]) -> List[np.ndarray]:
+            enc = self.tokenizer(texts, max_length=max_len,
+                                 padding="max_length", truncation=True,
+                                 return_tensors="np")
+            ids = np.asarray(enc["input_ids"], np.int32)
+            return [ids[i] for i in range(ids.shape[0])]
+
+        bank_size = getattr(self.cfg, "aug_bank_size", 0)
+        if bank_size <= 0:
+            pairs = self.augmenter.augment_contract(code, n)
+            return _tok_rows([v for _, v in pairs]) if pairs else []
+        bank = self._aug_bank.get(code)
+        if bank is None:
+            pairs = self.augmenter.augment_contract(code, bank_size)
+            bank = _tok_rows([v for _, v in pairs]) if pairs else []
+            self._aug_bank[code] = bank
+        if not bank:
+            return []
+        k = min(n, len(bank))
+        return [bank[i] for i in self._py_rng.sample(range(len(bank)), k)]
+
     def _create_augmented_batch(self, batch: Dict) -> Dict:
         """Host-side augmented batch (train.py:774-866): 2–3 variants per
         contract, resampled to batch size, original vuln labels preserved by
-        index, dummy AST = input clone."""
+        index, dummy AST = input clone. The pair's input side is the
+        ORIGINAL contract (augment_contract returns (original, variant)), so
+        input rows are reused from the already-tokenized batch; only variant
+        targets need tokenizing (served from the variant bank)."""
         if not self.use_augmentation or "source_code" not in batch:
             return batch
         source_codes = batch["source_code"]
-        max_len = batch["input_ids"].shape[1]
 
-        pairs = []
-        for code in source_codes:
+        pairs = []   # (contract index in batch, variant target ids row)
+        for ci, code in enumerate(source_codes):
             n = self._py_rng.randint(2, 3)
-            pairs.extend(self.augmenter.augment_contract(code, n))
+            pairs.extend((ci, row) for row in self._bank_variants(code, n))
         if not pairs:
             return batch
         if len(pairs) > len(source_codes):
@@ -362,23 +431,18 @@ class SmartContractTrainer:
         while len(pairs) < len(source_codes):
             pairs.append(pairs[len(pairs) % max(len(pairs), 1)])
 
-        inputs, targets = [], []
-        for inp, tgt in pairs:
-            inputs.append(inp)
-            targets.append(tgt)
-        enc = self.tokenizer(inputs, max_length=max_len, padding="max_length",
-                             truncation=True, return_tensors="np")
-        tgt_enc = self.tokenizer(targets, max_length=max_len,
-                                 padding="max_length", truncation=True,
-                                 return_tensors="np")
+        src = np.asarray([ci for ci, _ in pairs], np.int64)
+        target_ids = np.stack([row for _, row in pairs])
+        input_ids = np.asarray(batch["input_ids"])[src]
+        attention_mask = np.asarray(batch["attention_mask"])[src]
         n = len(pairs)
         idx = np.minimum(np.arange(n), len(source_codes) - 1)
         return {
-            "input_ids": np.asarray(enc["input_ids"], np.int32),
-            "attention_mask": np.asarray(enc["attention_mask"], np.int32),
-            "ast_input_ids": np.asarray(enc["input_ids"], np.int32),
-            "ast_attention_mask": np.asarray(enc["attention_mask"], np.int32),
-            "target_ids": np.asarray(tgt_enc["input_ids"], np.int32),
+            "input_ids": input_ids,
+            "attention_mask": attention_mask,
+            "ast_input_ids": input_ids,
+            "ast_attention_mask": attention_mask,
+            "target_ids": target_ids,
             "vulnerable_lines": np.asarray(batch["vulnerable_lines"])[idx],
             "contract_vulnerabilities":
                 np.asarray(batch["contract_vulnerabilities"])[idx],
@@ -640,9 +704,24 @@ class SmartContractTrainer:
                 self.patience_counter = 0
                 # async: the device-side snapshot is immediate, the slow
                 # D2H + write runs on the saver thread (checkpoint.AsyncSaver)
+                best_val = float(val_metrics["gen_loss"])
+
+                def _mark_persisted(v=best_val):
+                    self._persisted_best_val = v
+
+                def _rollback_best():
+                    # queued best dropped before writing: future epochs must
+                    # compete against the best actually on disk, not the
+                    # phantom one (checkpoint.AsyncSaver.drop_pending)
+                    self.best_val_loss = self._persisted_best_val
+                    self._log("best snapshot dropped before save; "
+                              "best_val_loss rolled back to "
+                              f"{self.best_val_loss:.4f}")
+
                 self._saver.submit(
                     checkpoint_dir, f"best_model{suffix}_epoch_{epoch + 1}",
-                    best_tree, dict(meta, params_only=True))
+                    best_tree, dict(meta, params_only=True),
+                    on_saved=_mark_persisted, on_dropped=_rollback_best)
                 self._log("🎉 New best validation loss! Saving "
                           f"best_model{suffix}_epoch_{epoch + 1} "
                           "(background)")

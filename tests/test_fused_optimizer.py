@@ -12,6 +12,7 @@ from sct_gan_tpu.models.sct_transformer import SmartContractTransformer
 from sct_gan_tpu.train.optimizer import (FusedOptimizer, GroupLRs,
                                          apply_group_lrs,
                                          build_gradient_transform,
+                                         fusion_mask_tree,
                                          group_index_tree)
 
 
@@ -36,31 +37,46 @@ def setup():
     return params, grads, lrs
 
 
-def _optax_step(params, grads, lrs, *, steps=1, scale_grads=1.0):
+def _optax_step(params, grads, lrs, *, steps=1, scale_grads=1.0,
+                grad_seq=None):
+    """Replays the train_step optax path: gate norm post-fusion-clamp
+    (matching FusedOptimizer and torch hook ordering), and the keep-where
+    restores the PRE-update optimizer state on skipped steps."""
     tx = build_gradient_transform(params, use_gan=True)
     gidx = group_index_tree(params, True)
+    fmask = fusion_mask_tree(params)
     opt_state = tx.init(params)
     for i in range(steps):
-        g = jax.tree_util.tree_map(
-            lambda x: x * (scale_grads ** (i + 1)), grads)
-        gnorm = optax.global_norm(g)
-        updates, opt_state = tx.update(g, opt_state, params)
+        if grad_seq is not None:
+            g = grad_seq[i]
+        else:
+            g = jax.tree_util.tree_map(
+                lambda x: x * (scale_grads ** (i + 1)), grads)
+        gate_g = jax.tree_util.tree_map(
+            lambda x, m: jnp.clip(x, -1.0, 1.0) if m else x, g, fmask)
+        gnorm = optax.global_norm(gate_g)
+        old_opt = opt_state
+        updates, new_opt_state = tx.update(g, opt_state, params)
         updates = apply_group_lrs(updates, gidx, lrs)
         new_params = optax.apply_updates(params, updates)
         ok = jnp.isfinite(gnorm) & (gnorm <= 1000.0)
         keep = lambda new, old: jax.tree_util.tree_map(
             lambda n, o: jnp.where(ok, n, o), new, old)
         params = keep(new_params, params)
-        opt_state = keep(opt_state, opt_state)
+        opt_state = keep(new_opt_state, old_opt)
     return params
 
 
-def _fused_step(params, grads, lrs, *, steps=1, scale_grads=1.0):
+def _fused_step(params, grads, lrs, *, steps=1, scale_grads=1.0,
+                grad_seq=None):
     fo = FusedOptimizer(params, use_gan=True)
     opt_state = fo.init(params)
     for i in range(steps):
-        g = jax.tree_util.tree_map(
-            lambda x: x * (scale_grads ** (i + 1)), grads)
+        if grad_seq is not None:
+            g = grad_seq[i]
+        else:
+            g = jax.tree_util.tree_map(
+                lambda x: x * (scale_grads ** (i + 1)), grads)
         params, opt_state, norm, ok = fo.update(
             g, opt_state, params, lrs, jnp.float32(0.5))
     return params
@@ -112,12 +128,32 @@ def test_nan_loss_skips(setup):
     assert not bool(ok)
 
 
+def test_skip_then_step_matches(setup):
+    """A skipped (explosive) step must leave mu/nu/count untouched on BOTH
+    paths — the subsequent normal step then produces identical params. This
+    is the skip-semantics check the identity tests alone can't see (a
+    keep(new, new) no-op in the reference would pass them)."""
+    params, grads, lrs = setup
+    huge = jax.tree_util.tree_map(lambda g: g * 1e9, grads)   # norm > 1000
+    seq = [huge, grads, jax.tree_util.tree_map(lambda g: g * 0.5, grads)]
+    p1 = _optax_step(params, grads, lrs, steps=3, grad_seq=seq)
+    p2 = _fused_step(params, grads, lrs, steps=3, grad_seq=seq)
+    # also prove the skipped step actually changed nothing vs never running it
+    p1_ref = _optax_step(params, grads, lrs, steps=2, grad_seq=seq[1:])
+    for a, b, c in zip(jax.tree_util.tree_leaves(p1),
+                       jax.tree_util.tree_leaves(p2),
+                       jax.tree_util.tree_leaves(p1_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_fusion_clamp_applies(setup):
     """feature_fusion grads are clamped to ±1 before any norm — parity with
-    the reference's grad hooks (model.py:284-286). Amplification kept small
-    enough that the skip gate passes on both paths: the fused optimizer
-    takes its gate norm post-clamp (as torch does — backward hooks run
-    before clip_grad_norm_), the optax chain pre-clamp."""
+    the reference's grad hooks (model.py:284-286). Both paths take the skip
+    gate norm post-clamp (as torch does — backward hooks run before
+    clip_grad_norm_ sees the grads)."""
     params, grads, lrs = setup
     big_fusion = jax.tree_util.tree_map_with_path(
         lambda kp, g: g * 5.0 if "feature_fusion" in

@@ -40,7 +40,7 @@ def main() -> None:
     from sct_gan_tpu.config import ModelConfig, TrainConfig
     from sct_gan_tpu.data.dataset import create_dataloaders
     from sct_gan_tpu.data.synthetic import write_corpus_csv
-    from sct_gan_tpu.data.tokenizer import SolidityTokenizer
+    from sct_gan_tpu.data.native_tokenizer import NativeSolidityTokenizer
     from sct_gan_tpu.models.sct_transformer import SmartContractTransformer
     from sct_gan_tpu.parallel.mesh import make_mesh
     from sct_gan_tpu.train import SmartContractTrainer
@@ -51,7 +51,8 @@ def main() -> None:
     print(f"corpus: {args.contracts} contracts -> {csv_path}", flush=True)
 
     cfg = ModelConfig(use_gan=True, max_length=args.seq, max_lines=args.seq)
-    tok = SolidityTokenizer(vocab_size=cfg.vocab_size)
+    tok = NativeSolidityTokenizer(vocab_size=cfg.vocab_size)
+    print(f"native tokenizer: {tok.native_active}", flush=True)
     train_loader, val_loader = create_dataloaders(
         csv_path, tokenizer=tok, batch_size=args.batch_size,
         max_length=args.seq)
