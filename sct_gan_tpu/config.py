@@ -106,6 +106,16 @@ class TrainConfig:
     # SCT-GAN/train.py:774-866 — measured ~48x device time at corpus scale).
     # 0 = reference-parity fresh regeneration each batch.
     aug_bank_size: int = 6
+    # Label pairing for augmented batches. The reference keeps "original
+    # vulnerability data by index" (SCT-GAN/train.py:829-839): augmented
+    # pair i gets batch-slot i's labels even though selected_pairs is a
+    # random sample pooled across ALL the batch's contracts — so ~(B-1)/B
+    # of augmented examples train against the WRONG contract's labels.
+    # True (default) pairs each augmented example with its actual source
+    # contract's labels (the input side of a pair is that contract's
+    # original text, so labels align exactly). False reproduces the
+    # reference quirk verbatim.
+    aug_label_correct: bool = True
     seed: int = 0
     # Parallelism: number of data-parallel shards (1 = single chip)
     dp_shards: int = 1

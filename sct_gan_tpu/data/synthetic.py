@@ -293,10 +293,29 @@ _SAFE_BUILDERS = [_safe_view, _safe_auth, _safe_withdraw, _safe_transfer,
                   _safe_event, _safe_pure]
 
 
+def _estimate_tokens(lines: List[str]) -> int:
+    """Token count under the hermetic tokenizer's pretokenization (the same
+    regex SolidityTokenizer/NativeSolidityTokenizer split on) — lets the
+    generator hit a target length without importing a tokenizer."""
+    from .tokenizer import _PRETOKEN_RE
+    return sum(len(_PRETOKEN_RE.findall(l)) for l in lines)
+
+
 def generate_contract(rng: random.Random,
                       vuln_types: Optional[List[str]] = None,
-                      name: Optional[str] = None) -> Dict:
-    """Generate one contract record with exact per-type vulnerable lines."""
+                      name: Optional[str] = None,
+                      target_tokens: Optional[int] = None) -> Dict:
+    """Generate one contract record with exact per-type vulnerable lines.
+
+    ``target_tokens`` pads the contract with additional safe blocks (and
+    occasional extra instances of the chosen vulnerability types) until it
+    reaches roughly that many tokens. The reference's corpus is pre-filtered
+    to 2048-token contracts (its CSV filename; eval notebook cell 10), so at
+    max_length=1024 its batches carry essentially NO padding — and the
+    contract head's unmasked mean-pool (SCT-GAN/model.py:462-466, a kept
+    parity quirk) only works in that regime. Short contracts drown the
+    pooled feature in padding embeddings; matching the reference's length
+    distribution is a data property, not a model change."""
     if vuln_types is None:
         k = rng.randint(0, 3)
         vuln_types = rng.sample(VULNERABILITY_TYPES, k)
@@ -332,7 +351,7 @@ def generate_contract(rng: random.Random,
         blocks.append(("safe", rng.randrange(len(_SAFE_BUILDERS))))
     rng.shuffle(blocks)
 
-    for kind, which in blocks:
+    def _emit(kind, which) -> None:
         if kind == "vuln":
             builder = rng.choice(_VULN_BUILDERS[which])
             snippet, rel = builder(nm)
@@ -342,6 +361,18 @@ def generate_contract(rng: random.Random,
         else:
             lines.extend(_SAFE_BUILDERS[which](nm))
         lines.append("")
+
+    for kind, which in blocks:
+        _emit(kind, which)
+    if target_tokens is not None:
+        # grow with safe blocks (plus ~1-in-6 extra instances of an already-
+        # chosen vuln type, mirroring real contracts repeating a pattern)
+        # until the estimated token count reaches the target
+        while _estimate_tokens(lines) < target_tokens:
+            if vuln_types and rng.random() < 1.0 / 6.0:
+                _emit("vuln", rng.choice(vuln_types))
+            else:
+                _emit("safe", rng.randrange(len(_SAFE_BUILDERS)))
     lines.append("}")
 
     record: Dict = {
@@ -353,11 +384,22 @@ def generate_contract(rng: random.Random,
     return record
 
 
-def generate_corpus(n: int = 50, seed: int = 0) -> List[Dict]:
+def generate_corpus(n: int = 50, seed: int = 0,
+                    target_tokens: Optional[Tuple[int, int]] = None
+                    ) -> List[Dict]:
+    """``target_tokens=(lo, hi)`` draws a per-contract length target
+    uniformly from [lo, hi] — e.g. (950, 1250) reproduces the reference's
+    fills-the-window length regime at max_length=1024."""
     rng = random.Random(seed)
-    return [generate_contract(rng, name=f"Synth{i}") for i in range(n)]
+    return [generate_contract(
+        rng, name=f"Synth{i}",
+        target_tokens=(rng.randint(*target_tokens)
+                       if target_tokens is not None else None))
+        for i in range(n)]
 
 
-def write_corpus_csv(path: str, n: int = 50, seed: int = 0) -> None:
+def write_corpus_csv(path: str, n: int = 50, seed: int = 0,
+                     target_tokens: Optional[Tuple[int, int]] = None) -> None:
     import pandas as pd
-    pd.DataFrame(generate_corpus(n, seed)).to_csv(path, index=False)
+    pd.DataFrame(generate_corpus(n, seed, target_tokens=target_tokens)
+                 ).to_csv(path, index=False)

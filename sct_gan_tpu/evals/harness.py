@@ -27,6 +27,35 @@ BASELINE_CONTRACT_THRESHOLDS = {"ARTHM": 0.5, "DOS": 0.4, "LE": 0.4,
 BASELINE_LINE_THRESHOLDS = {vt: 0.2 for vt in BASELINE_CONTRACT_THRESHOLDS}
 
 
+def _best_f1_sweep(y_true: np.ndarray, probs: np.ndarray,
+                   skip_half: bool = False) -> Dict[str, float]:
+    """Best F1 over a threshold sweep (+ the argmax threshold).
+
+    The protocol-pinned thresholds (eval notebook cell 20) are calibrated to
+    the reference's probability scale; on a different corpus the ranking can
+    be right while the fixed threshold is not. This reports the calibrated
+    ceiling alongside — the same machinery cell 19 uses to pick thresholds.
+    ``skip_half`` applies the empty-line filter (prob == 0.5 → never
+    predicted, matching the pinned-threshold path)."""
+    y = np.asarray(y_true).ravel() > 0
+    p = np.asarray(probs).ravel()
+    valid = ~(p == 0.5) if skip_half else np.ones_like(p, bool)
+    best = {"threshold": 0.5, "f1_score": 0.0, "precision": 0.0,
+            "recall": 0.0}
+    for thr in np.arange(0.02, 0.99, 0.02):
+        pred = (p > thr) & valid
+        tp = float(np.sum(pred & y))
+        fp = float(np.sum(pred & ~y))
+        fn = float(np.sum(~pred & y))
+        prec = tp / (tp + fp) if tp + fp else 0.0
+        rec = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        if f1 > best["f1_score"]:
+            best = {"threshold": round(float(thr), 2), "f1_score": f1,
+                    "precision": prec, "recall": rec}
+    return best
+
+
 def evaluate_model_performance(
     model_path: Optional[str] = None,
     val_dataloader=None,
@@ -144,14 +173,21 @@ def evaluate_model_performance(
                                           contract_pred[:, j],
                                           contract_probs[:, j]))
 
+    results["contract_level"]["overall"]["best_f1"] = _best_f1_sweep(
+        contract_true, contract_probs)
+
     results["line_level"]["overall"] = compute_metrics_for_threshold(
         flat_true, flat_pred, flat_probs)
+    results["line_level"]["overall"]["best_f1"] = _best_f1_sweep(
+        flat_true, flat_probs, skip_half=True)
     for j, vt in enumerate(vuln_types):
         t = np.concatenate([x[j] for x in line_true_all])
         p = np.concatenate([x[j] for x in line_pred_all])
         pr = np.concatenate([x[j] for x in line_probs_all])
         results["line_level"]["per_vulnerability"][vt] = (
             compute_metrics_for_threshold(t, p, pr))
+        results["line_level"]["per_vulnerability"][vt]["best_f1"] = (
+            _best_f1_sweep(t, pr, skip_half=True))
 
     if output_file:
         with open(output_file, "w") as f:
@@ -171,6 +207,11 @@ def print_evaluation_summary(results: Dict[str, Any]) -> None:
         print(f"  acc={o['accuracy']:.4f} P={o['precision']:.4f} "
               f"R={o['recall']:.4f} F1={o['f1_score']:.4f} "
               f"PR-AUC={o['pr_auc']:.4f} ROC-AUC={o['roc_auc']:.4f}")
+        if "best_f1" in o:
+            b = o["best_f1"]
+            print(f"  best-threshold F1: {b['f1_score']:.4f} at "
+                  f"thr={b['threshold']:.2f} (P={b['precision']:.4f} "
+                  f"R={b['recall']:.4f})")
         print(f"{'type':>10} {'acc':>8} {'P':>8} {'R':>8} {'F1':>8} "
               f"{'PR-AUC':>8}")
         for vt, m in results[level]["per_vulnerability"].items():

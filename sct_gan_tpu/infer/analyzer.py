@@ -350,41 +350,55 @@ class SmartContractAnalyzer:
     ) -> List[str]:
         """Generate synthetic contracts from a template
         (parity: inference.py:802-958), with the model → template-transform
-        fallback chain."""
+        fallback chain.
+
+        All ``num_contracts`` decode as ONE batch (the reference loops them
+        serially, one prefix-re-encoding generation each — call stack §3.3;
+        the jitted sampler here is batched, so N contracts cost one decode
+        pass). The batch is padded up to a power of two so repeated calls
+        with different counts reuse a handful of compiled executables; rows
+        sample independently through the batched categorical draw."""
         batch = self._prepare_inputs([contract_template])
+        bucket = max(1, 1 << (num_contracts - 1).bit_length())
+        tile = lambda x: np.repeat(x, bucket, axis=0)
         generated: List[str] = []
-        for idx in range(num_contracts):
-            try:
-                if use_beam_search:
-                    if beam_size not in self._beam_fns:
-                        self._beam_fns[beam_size] = make_beam_search_fn(
-                            self.model, beam_size=beam_size)
-                    out = self._beam_fns[beam_size](
-                        self.params, batch["input_ids"],
-                        batch["attention_mask"], batch["ast_input_ids"],
-                        batch["ast_attention_mask"], temperature)
-                    seq = np.asarray(jax.device_get(
-                        out["generated_sequence"]))[0]
-                else:
-                    memory = self.model.apply(
-                        {"params": self.params}, batch["input_ids"],
-                        batch["attention_mask"], batch["ast_input_ids"],
-                        batch["ast_attention_mask"],
-                        method=self.model.encode)
-                    src_mask = batch["attention_mask"].astype(bool)
-                    self._rng, sub = jax.random.split(self._rng)
-                    tokens = self._generate_fn(self.params, memory, src_mask,
-                                               sub, temperature)
-                    seq = np.asarray(jax.device_get(tokens))[0]
-                code = self.tokenizer.decode(seq, skip_special_tokens=True)
-                code = code.strip()
+        try:
+            if use_beam_search:
+                if beam_size not in self._beam_fns:
+                    self._beam_fns[beam_size] = make_beam_search_fn(
+                        self.model, beam_size=beam_size)
+                # beam search is deterministic per row: identical rows give
+                # identical sequences, so decode ONE row and replicate
+                # (matching the reference's per-call beam results)
+                out = self._beam_fns[beam_size](
+                    self.params, batch["input_ids"],
+                    batch["attention_mask"], batch["ast_input_ids"],
+                    batch["ast_attention_mask"], temperature)
+                seqs = np.repeat(np.asarray(jax.device_get(
+                    out["generated_sequence"]))[:1], num_contracts, axis=0)
+            else:
+                memory = self.model.apply(
+                    {"params": self.params}, tile(batch["input_ids"]),
+                    tile(batch["attention_mask"]),
+                    tile(batch["ast_input_ids"]),
+                    tile(batch["ast_attention_mask"]),
+                    method=self.model.encode)
+                src_mask = tile(batch["attention_mask"]).astype(bool)
+                self._rng, sub = jax.random.split(self._rng)
+                tokens = self._generate_fn(self.params, memory, src_mask,
+                                           sub, temperature)
+                seqs = np.asarray(jax.device_get(tokens))[:num_contracts]
+            for seq in seqs:
+                code = self.tokenizer.decode(
+                    seq, skip_special_tokens=True).strip()
                 if len(code) > 10 and not code.isspace():
                     generated.append(code)
                 else:
                     generated.append(self.generate_template_based_contract(
                         contract_template))
-            except Exception as e:
-                self._log(f"Error generating contract {idx}: {e}")
+        except Exception as e:
+            self._log(f"Error generating contracts: {e}")
+            for _ in range(num_contracts - len(generated)):
                 try:
                     generated.append(self.generate_template_based_contract(
                         contract_template))

@@ -49,10 +49,41 @@ def top_p_filter(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     return jnp.where(remove, _NEG_INF, logits)
 
 
+def _dense_top_k_top_p(logits: jnp.ndarray, top_k: int,
+                       top_p: float) -> jnp.ndarray:
+    """Reference-shaped composition (full-vocab argsorts) — kept as the
+    parity oracle for the fused path (tests/test_ops.py)."""
+    return top_p_filter(top_k_filter(logits, top_k), top_p)
+
+
 def top_k_top_p_filter(logits: jnp.ndarray, top_k: int = 50,
                        top_p: float = 0.95) -> jnp.ndarray:
-    """Composed filter in the reference's order: top-k first, then top-p."""
-    return top_p_filter(top_k_filter(logits, top_k), top_p)
+    """Composed filter in the reference's order: top-k first, then top-p.
+
+    Fused: after top-k only k logits survive, so nucleus filtering only ever
+    inspects those k — one ``lax.top_k`` (already descending) + a length-k
+    cumsum replaces the dense path's THREE full-vocab sorts per decode step
+    (sort, inverse-permutation argsort, and top-k's own). Exact-equivalent:
+    the dense path's softmax gives the -1e30-masked tail zero probability,
+    so its cumulative sums over the first k sorted entries are identical.
+    """
+    v = logits.shape[-1]
+    if top_k <= 0 or top_k >= v:
+        return top_p_filter(logits, top_p)
+    vals, idx = jax.lax.top_k(logits, top_k)
+    if top_p < 1.0:
+        cum = jnp.cumsum(jax.nn.softmax(vals, axis=-1), axis=-1)
+        remove = cum > top_p
+        # shift right: the highest-prob token is always kept (model.py:911)
+        remove = jnp.concatenate(
+            [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
+        vals = jnp.where(remove, _NEG_INF, vals)
+    flat_idx = idx.reshape(-1, top_k)
+    flat_vals = vals.reshape(-1, top_k)
+    rows = jnp.arange(flat_idx.shape[0])[:, None]
+    out = jnp.full((flat_idx.shape[0], v), _NEG_INF, logits.dtype)
+    out = out.at[rows, flat_idx].set(flat_vals)
+    return out.reshape(logits.shape)
 
 
 def sample_categorical(rng: jax.Array, logits: jnp.ndarray,

@@ -436,7 +436,13 @@ class SmartContractTrainer:
         input_ids = np.asarray(batch["input_ids"])[src]
         attention_mask = np.asarray(batch["attention_mask"])[src]
         n = len(pairs)
-        idx = np.minimum(np.arange(n), len(source_codes) - 1)
+        if getattr(self.cfg, "aug_label_correct", False):
+            # labels from each pair's actual source contract (the pair's
+            # input side IS that contract's original text)
+            idx = src
+        else:
+            # reference quirk (train.py:829-839): batch-slot labels by index
+            idx = np.minimum(np.arange(n), len(source_codes) - 1)
         return {
             "input_ids": input_ids,
             "attention_mask": attention_mask,

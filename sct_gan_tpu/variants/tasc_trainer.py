@@ -396,7 +396,49 @@ class VulnerabilityDetectionTrainer:
                     self._log(f"Pattern accuracy [{k}]: {acc:.2%}")
         return avg
 
-    def train(self, num_epochs: int) -> Dict[str, List[float]]:
+    # ------------------------------------------------------------------
+    def save(self, checkpoint_dir: str, name: str = "tasc_best") -> str:
+        """Persist the full TASC training state.
+
+        Parity with the reference's legacy checkpoint contract
+        (Binary-TASC-model/main.ipynb cell 21): per-submodule state dicts
+        (generator/discriminator/decoder — here the top-level keys of the
+        params tree) plus ALL per-submodule optimizer states, best val loss
+        and history. Arrays go through orbax, metadata to the JSON sidecar
+        (train/checkpoint.py)."""
+        from ..train.checkpoint import save_checkpoint
+        tree = {"params": self.params, "opt_states": self.opt_states}
+        meta = {
+            "best_val_loss": self.best_val_loss,
+            "training_history": self.training_history,
+            "multiclass": self.cfg.multiclass,
+            "epochs_run": len(self.training_history["g_loss"]),
+        }
+        return save_checkpoint(checkpoint_dir, name, tree, meta)
+
+    def restore(self, checkpoint_path: str) -> int:
+        """Restore params + the 3/4 optimizer states + history saved by
+        ``save``; training continues where it left off. Returns the number
+        of epochs already run."""
+        from ..train.checkpoint import load_checkpoint
+        target = {"params": self.params, "opt_states": self.opt_states}
+        tree, meta = load_checkpoint(checkpoint_path, target=target)
+        self.params = jax.tree_util.tree_map(jnp.asarray, tree["params"])
+        self.opt_states = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if isinstance(x, (np.ndarray, jnp.ndarray))
+            else x, tree["opt_states"])
+        self.best_val_loss = float(meta.get("best_val_loss",
+                                            self.best_val_loss))
+        self.training_history = meta.get("training_history",
+                                         self.training_history)
+        epochs_run = int(meta.get("epochs_run", 0))
+        self._log(f"Restored TASC checkpoint from {checkpoint_path} "
+                  f"({epochs_run} epochs run)")
+        return epochs_run
+
+    def train(self, num_epochs: int,
+              checkpoint_dir: Optional[str] = None
+              ) -> Dict[str, List[float]]:
         import time
         for epoch in range(num_epochs):
             t0 = time.time()
@@ -407,4 +449,7 @@ class VulnerabilityDetectionTrainer:
                       f"decoder={dec:.4f} val={val:.4f}")
             if val < self.best_val_loss:
                 self.best_val_loss = val
+                if checkpoint_dir is not None:
+                    path = self.save(checkpoint_dir)
+                    self._log(f"New best val loss; saved {path}")
         return self.training_history

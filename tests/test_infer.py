@@ -191,6 +191,18 @@ def test_generate_synthetic_contract(analyzer):
     assert all(isinstance(o, str) and len(o) > 0 for o in outs)
 
 
+def test_generate_batched_rows_independent(analyzer):
+    """num_contracts decode as one batch; rows draw independent samples
+    (not N copies of one sequence)."""
+    outs = analyzer.generate_synthetic_contract(SAMPLE, num_contracts=3,
+                                                temperature=1.0)
+    assert len(outs) == 3
+    assert all(isinstance(o, str) and len(o) > 0 for o in outs)
+    # at T=1.0 on an untrained tiny model, 3 identical sequences would mean
+    # the batch shared one draw
+    assert len(set(outs)) > 1
+
+
 def test_template_based_generation(analyzer):
     out = analyzer.generate_template_based_contract(SAMPLE)
     assert out.startswith("// Generated contract based on template")

@@ -111,6 +111,21 @@ def test_top_p_filter_keeps_first():
     assert (out[0, 1:] < -1e29).all()
 
 
+def test_fused_top_k_top_p_matches_dense():
+    """The fused (k-element) composed filter must equal the dense
+    full-vocab-sort composition element-for-element."""
+    from sct_gan_tpu.ops.sampling import (_dense_top_k_top_p,
+                                          top_k_top_p_filter)
+    rng = np.random.default_rng(11)
+    for shape, k, p in [((4, 503), 50, 0.95), ((2, 64), 8, 0.5),
+                        ((1, 32), 32, 0.9), ((3, 40), 5, 1.0),
+                        ((2, 3, 64), 7, 0.8)]:
+        logits = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        fused = np.asarray(top_k_top_p_filter(logits, k, p))
+        dense = np.asarray(_dense_top_k_top_p(logits, k, p))
+        np.testing.assert_allclose(fused, dense, rtol=0, atol=0)
+
+
 def test_top_p_filter_mass():
     rng = np.random.default_rng(4)
     logits = jnp.asarray(rng.normal(size=(3, 20)).astype(np.float32))

@@ -133,6 +133,43 @@ def test_tasc_trainer_epoch(tok, loaders, multiclass):
     assert len(hist["g_loss"]) == 1 and len(hist["val_loss"]) == 1
 
 
+@pytest.mark.slow
+def test_tasc_checkpoint_roundtrip(tok, loaders, tmp_path):
+    """Save → restore into a FRESH trainer → continue training: params,
+    all per-submodule optimizer states, best val loss and history survive
+    the round trip (Binary-TASC-model/main.ipynb cell 21 contract)."""
+    cfg = TASCConfig(**{**TINY.__dict__, "multiclass": True})
+
+    def make_trainer():
+        return VulnerabilityDetectionTrainer(
+            SmartContractVulnerabilityGAN(cfg), loaders[0], loaders[1],
+            learning_rate=1e-3, tokenizer=tok, verbose=False)
+
+    t1 = make_trainer()
+    t1.train(1, checkpoint_dir=str(tmp_path))
+    assert (tmp_path / "tasc_best.meta.json").exists()
+    path = str(tmp_path / "tasc_best")
+
+    t2 = make_trainer()
+    epochs_run = t2.restore(path)
+    assert epochs_run == 1
+    assert t2.best_val_loss == pytest.approx(t1.best_val_loss)
+    assert t2.training_history["g_loss"] == pytest.approx(
+        t1.training_history["g_loss"])
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params),
+                    jax.tree_util.tree_leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # optimizer state round-trips leaf-for-leaf (incl. Adam mu/nu)
+    l1 = jax.tree_util.tree_leaves(t1.opt_states)
+    l2 = jax.tree_util.tree_leaves(t2.opt_states)
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # training continues from the restored state
+    g, d, dec = t2.train_epoch()
+    assert all(np.isfinite(x) for x in (g, d, dec))
+
+
 def test_variant_factory(tok):
     from sct_gan_tpu.variants import VARIANTS, build_variant
     for name in ("binary-tasc", "multiclass-tasc"):
