@@ -91,13 +91,14 @@ class TrainConfig:
     # (e.g. 5e-4) for long runs where convergence matters more than
     # reproducing that failure mode.
     line_lr_max: Optional[float] = None
-    # Flattened vector optimizer (optimizer.FusedOptimizer): numerically
-    # identical to the optax chain (tests/test_fused_optimizer.py). MEASURED
-    # SLOWER on-chip (33.1 vs 18.5 ms/step): the per-leaf apply launches
-    # survive the flattening, and the concat/slice passes add on top — the
-    # mega-leaf 6.1 ms figure (tools/time_opt_megaleaf.py) is reachable only
-    # if params themselves live as per-dtype vectors end-to-end. Kept as the
-    # numerically-proven foundation for that future design; off by default.
+    # Single-pass fused tree optimizer (optimizer.FusedOptimizer):
+    # numerically identical to the optax chain
+    # (tests/test_fused_optimizer.py), but each leaf is touched once with
+    # all clip factors composed as scalars and the skip gate folded into
+    # the coefficients — no per-stage tree rewrites, no keep-where sweep.
+    # (The round-2 concat-into-one-vector design measured SLOWER, 33.1 vs
+    # 18.5 ms/step — the 896 MB gather/scatter swamped the launch savings —
+    # and was replaced by this.)
     fused_optimizer: bool = False
     # Augmentation variant bank: pre-generate up to N tokenized variants per
     # contract the first time it is seen, then sample among them on later

@@ -175,38 +175,36 @@ class ReduceLROnPlateau:
         self.num_bad = d.get("num_bad", 0)
 
 
-# -- flattened (vector) optimizer --------------------------------------------
-
-class _LeafMeta(NamedTuple):
-    path: str
-    shape: Tuple[int, ...]
-    size: int
-    offset: int
-    group: int          # index into GROUPS
-    fusion: bool        # ±1 clamp applies (feature_fusion grad hook)
-
+# -- fused single-pass tree optimizer ----------------------------------------
 
 class FusedOptimizer:
-    """The whole gradient transform as a few large vector ops.
+    """The whole gradient transform as ONE pass over the parameter tree.
 
     Numerically identical to build_gradient_transform + apply_group_lrs +
-    apply_updates (tests/test_fused_optimizer.py proves it leaf-for-leaf),
-    but the per-leaf optax chain costs ~12 ms/step in kernel-launch overhead
-    alone on the 2,100-leaf full-size tree (measured: the same chain on one
-    139M-element mega-leaf runs 6.1 ms vs 18.5 ms — tools/time_opt_megaleaf.py).
-    Here every reduction and elementwise stage runs on ONE concatenated f32
-    vector; leaves are ordered so each clip set is a contiguous segment:
+    apply_updates + the skip keep-where (tests/test_fused_optimizer.py), but
+    structured for launch-overhead-dominated runtimes:
 
-        [ base | contract∖vuln | contract∩vuln | line (all vuln) | disc ]
+      * the optax chain rewrites the full gradient tree once per stage
+        (fusion clamp → global clip → disc clip → vuln clip → Adam → wd),
+        then the train step adds a keep-where over params AND optimizer
+        state — ~7k device ops and ~3 extra full-tree memory sweeps per
+        step on the 405-leaf/224M-param model (measured 18.5 ms vs a ~6 ms
+        bandwidth ideal; a concat-into-one-vector design measured WORSE,
+        33.1 ms — the 896 MB gather/scatter swamps what it saves);
+      * here each leaf is touched exactly once: one sum-of-squares reduce
+        (feeding the global/subset norms) and one fused
+        clip·Adam·wd·LR·gate computation. All clip factors are SCALARS
+        composed analytically — scaling a set by s scales its subset norm
+        by s, so the sequential optax semantics (subset norms taken on
+        post-global-clip values) compose exactly without materializing
+        intermediate trees;
+      * the NaN/explosion skip (train.py:1301-1309) is folded into the
+        scalar coefficients (lr→0, β→1, 1-β→0, count increment→0): a
+        skipped step leaves params/mu/nu bit-identical with ZERO extra
+        per-leaf where ops.
 
-    so the masked clip norms (SCT-GAN/train.py:1277-1291) are slice
-    reductions, not masked tree traversals. Per-leaf work is exactly one
-    slice+reshape+fma per parameter at apply time (group LR, decoupled
-    weight decay, and the NaN/explosion keep-where are folded in).
-
-    Restriction: built for replicated parameters (dp-only meshes). Under
-    mp>1 the concat would all-gather every sharded gradient each step —
-    callers keep the optax chain there (trainer gates on mesh mp size).
+    No concat, no slicing — works under any mesh sharding (mp included):
+    the reductions lower to the appropriate collectives under GSPMD.
     """
 
     def __init__(self, params, *, use_gan: bool, max_grad_norm: float = 1.0,
@@ -216,113 +214,91 @@ class FusedOptimizer:
         self.max_norm = float(max_grad_norm)
         self.b1, self.b2, self.eps = float(adam_b1), float(adam_b2), float(adam_eps)
         self.wd = float(weight_decay)
-
-        flat = []
-        for kp, leaf in jax.tree_util.tree_leaves_with_path(params):
+        # static per-leaf annotations: (group index, in-vuln-clip-set,
+        # in-disc-clip-set, fusion-clamp)
+        self._meta = []
+        for kp, _ in jax.tree_util.tree_leaves_with_path(params):
             path = _flat_path(kp)
-            grp = GROUPS.index(group_of(path, use_gan))
-            vuln = any(k in path for k in _VULN_CLIP_KEYS)
-            seg = {  # contiguity rank: vuln leaves adjacent, disc last
-                ("base", False): 0, ("contract", False): 1,
-                ("contract", True): 2, ("line", True): 3, ("line", False): 3,
-                ("disc", False): 4, ("disc", True): 4,
-            }[(GROUPS[grp], vuln)]
-            flat.append((seg, path, leaf, grp, vuln,
-                         "feature_fusion" in path))
-        flat.sort(key=lambda t: (t[0], t[1]))
-
-        metas, off = [], 0
-        self._vuln_lo = self._vuln_hi = self._disc_lo = None
-        for seg, path, leaf, grp, vuln, fusion in flat:
-            size = int(np.prod(leaf.shape)) if leaf.shape else 1
-            if vuln and self._vuln_lo is None:
-                self._vuln_lo = off
-            if vuln:
-                self._vuln_hi = off + size
-            if seg == 4 and self._disc_lo is None:
-                self._disc_lo = off
-            metas.append(_LeafMeta(path, tuple(leaf.shape), size, off,
-                                   grp, fusion))
-            off += size
-        self.metas = metas
-        self.total = off
+            self._meta.append((
+                GROUPS.index(group_of(path, use_gan)),
+                any(k in path for k in _VULN_CLIP_KEYS),
+                use_gan and any(k in path for k in _DISC_KEYS),
+                "feature_fusion" in path,
+            ))
         self._treedef = jax.tree_util.tree_structure(params)
-        # map from storage order back to tree order
-        order = {m.path: i for i, m in enumerate(metas)}
-        self._tree_order = [
-            order[_flat_path(kp)]
-            for kp, _ in jax.tree_util.tree_leaves_with_path(params)]
 
     def init(self, params):
-        del params
-        vec = jnp.zeros((self.total,), jnp.float32)
-        return {"count": jnp.zeros((), jnp.int32), "mu": vec, "nu": vec}
-
-    def _leaves_in_storage_order(self, tree):
-        leaves = jax.tree_util.tree_leaves(tree)
-        out = [None] * len(leaves)
-        for tree_i, store_i in enumerate(self._tree_order):
-            out[store_i] = leaves[tree_i]
-        return out
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        return {"count": jnp.zeros((), jnp.int32), "mu": zeros,
+                "nu": jax.tree_util.tree_map(jnp.copy, zeros)}
 
     def update(self, grads, opt_state, params, lrs: GroupLRs, total_loss):
         """Returns (new_params, new_opt_state, grad_norm, ok).
 
-        ``ok`` is the NaN/explosion skip gate (train.py:1301-1309), folded
-        in here because the norm it needs is computed here anyway. The norm
-        is taken after the fusion ±1 grad-hook clamp — matching torch,
-        where backward hooks run before clip_grad_norm_ sees the grads.
-        """
-        g_leaves = self._leaves_in_storage_order(grads)
-        parts = []
-        for m, g in zip(self.metas, g_leaves):
-            g = g.astype(jnp.float32).ravel()
-            if m.fusion:   # grad-hook clamp runs before any norm (model.py:284)
-                g = jnp.clip(g, -1.0, 1.0)
-            parts.append(g)
-        g = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        ``ok`` is the NaN/explosion skip gate. The gate norm is taken after
+        the fusion ±1 grad-hook clamp — matching torch, where backward hooks
+        run before clip_grad_norm_ sees the grads."""
+        g_leaves = [g.astype(jnp.float32) for g in
+                    jax.tree_util.tree_leaves(grads)]
+        # fusion grad-hook clamp (model.py:284-286) — a handful of leaves
+        g_leaves = [jnp.clip(g, -1.0, 1.0) if m[3] else g
+                    for g, m in zip(g_leaves, self._meta)]
+
+        # one reduce per leaf feeds every norm: global, vuln-set, disc-set
+        sq = [jnp.vdot(g, g) for g in g_leaves]
+        total_sq = sum(sq)
+        vuln_sq = sum((s for s, m in zip(sq, self._meta) if m[1]),
+                      jnp.float32(0.0))
+        disc_sq = sum((s for s, m in zip(sq, self._meta) if m[2]),
+                      jnp.float32(0.0))
 
         mx = self.max_norm
-        norm = jnp.sqrt(jnp.vdot(g, g))
-        s = jnp.where(norm < mx, 1.0, mx / norm)
-        g = g * s
-        if self._vuln_lo is not None:
-            seg = jax.lax.slice(g, (self._vuln_lo,), (self._vuln_hi,))
-            vn = jnp.sqrt(jnp.vdot(seg, seg))
-            sv = jnp.where(vn < 2.0 * mx, 1.0, 2.0 * mx / vn)
-            g = jax.lax.dynamic_update_slice(g, seg * sv, (self._vuln_lo,))
-        if self.use_gan and self._disc_lo is not None:
-            seg = jax.lax.slice(g, (self._disc_lo,), (self.total,))
-            dn = jnp.sqrt(jnp.vdot(seg, seg))
-            sd = jnp.where(dn < 0.3 * mx, 1.0, 0.3 * mx / dn)
-            g = jax.lax.dynamic_update_slice(g, seg * sd, (self._disc_lo,))
+        norm = jnp.sqrt(total_sq)
+        s_g = jnp.where(norm < mx, 1.0, mx / norm)
+        # subset norms on post-global-clip values = s_g * pre-clip norms
+        vn = s_g * jnp.sqrt(vuln_sq)
+        s_v = jnp.where(vn < 2.0 * mx, 1.0, 2.0 * mx / vn)
+        dn = s_g * jnp.sqrt(disc_sq)
+        s_d = jnp.where(dn < 0.3 * mx, 1.0, 0.3 * mx / dn)
 
-        count_inc = opt_state["count"] + 1
-        mu = self.b1 * opt_state["mu"] + (1.0 - self.b1) * g
-        nu = self.b2 * opt_state["nu"] + (1.0 - self.b2) * (g * g)
-        t = count_inc.astype(jnp.float32)
-        mu_hat = mu / (1.0 - self.b1 ** t)
-        nu_hat = nu / (1.0 - self.b2 ** t)
-        u_vec = mu_hat / (jnp.sqrt(nu_hat) + self.eps)
-
+        # skip gate folded into the scalar coefficients
         ok = jnp.isfinite(total_loss) & (norm <= 1000.0)
-        lr_vec = lrs.as_vector()
-        p_leaves = self._leaves_in_storage_order(params)
-        new_store = []
-        for m, p in zip(self.metas, p_leaves):
-            u = jax.lax.slice(u_vec, (m.offset,),
-                              (m.offset + m.size,)).reshape(m.shape)
-            lr = lr_vec[m.group]
-            newp = (p.astype(jnp.float32)
-                    - lr * (u + self.wd * p.astype(jnp.float32))).astype(p.dtype)
-            new_store.append(jnp.where(ok, newp, p))
-        # back to tree order
-        new_tree_leaves = [new_store[i] for i in self._tree_order]
-        new_params = jax.tree_util.tree_unflatten(self._treedef,
-                                                  new_tree_leaves)
-        new_opt = {
-            "count": jnp.where(ok, count_inc, opt_state["count"]),
-            "mu": jnp.where(ok, mu, opt_state["mu"]),
-            "nu": jnp.where(ok, nu, opt_state["nu"]),
-        }
-        return new_params, new_opt, norm, ok
+        okf = ok.astype(jnp.float32)
+        count_inc = opt_state["count"] + ok.astype(jnp.int32)
+        b1_eff = 1.0 - okf * (1.0 - self.b1)    # ok: b1, skip: 1
+        c1_eff = okf * (1.0 - self.b1)          # ok: 1-b1, skip: 0
+        b2_eff = 1.0 - okf * (1.0 - self.b2)
+        c2_eff = okf * (1.0 - self.b2)
+        # a skipped step leaves count unchanged; clamp t so the (discarded,
+        # lr_eff=0) bias correction can't divide by 1-β^0 = 0 and NaN the
+        # whole update
+        t = jnp.maximum(count_inc.astype(jnp.float32), 1.0)
+        bc1 = 1.0 - self.b1 ** t
+        bc2 = 1.0 - self.b2 ** t
+        lr_eff = okf * lrs.as_vector()          # ok: lr, skip: 0 → p' = p
+
+        mu_leaves = jax.tree_util.tree_leaves(opt_state["mu"])
+        nu_leaves = jax.tree_util.tree_leaves(opt_state["nu"])
+        p_leaves = jax.tree_util.tree_leaves(params)
+
+        new_p, new_mu, new_nu = [], [], []
+        for g, mu, nu, p, m in zip(g_leaves, mu_leaves, nu_leaves, p_leaves,
+                                   self._meta):
+            s = s_g * (s_v if m[1] else 1.0) * (s_d if m[2] else 1.0)
+            # scalar gating alone can't mask NaN grads (0·NaN = NaN): zero
+            # the clipped grad on skipped steps so mu/nu stay bit-identical
+            gc = jnp.where(ok, g * s, 0.0)
+            mu2 = b1_eff * mu + c1_eff * gc
+            nu2 = b2_eff * nu + c2_eff * (gc * gc)
+            u = (mu2 / bc1) / (jnp.sqrt(nu2 / bc2) + self.eps)
+            pf = p.astype(jnp.float32)
+            p2 = pf - lr_eff[m[0]] * (u + self.wd * pf)
+            new_p.append(p2.astype(p.dtype))
+            new_mu.append(mu2)
+            new_nu.append(nu2)
+
+        unflat = lambda ls: jax.tree_util.tree_unflatten(self._treedef, ls)
+        new_opt = {"count": count_inc, "mu": unflat(new_mu),
+                   "nu": unflat(new_nu)}
+        return unflat(new_p), new_opt, norm, ok

@@ -232,9 +232,9 @@ def make_train_step(model, grad_tx, group_idx, tables: SyntaxLossTables,
         metrics.update(_line_batch_metrics(line_logits, line_labels))
 
         if fused_opt is not None:
-            # flattened vector optimizer: clip norms, Adam, wd, group LRs,
-            # and the NaN/explosion keep all fused over one concatenated
-            # gradient vector (optimizer.FusedOptimizer)
+            # single-pass tree optimizer: clip norms, Adam, wd, group LRs,
+            # and the NaN/explosion skip all fused into one touch per leaf
+            # (optimizer.FusedOptimizer)
             new_params, new_opt_state, gnorm, ok = fused_opt.update(
                 grads, state.opt_state, state.params, lrs, total)
             metrics["grad_norm"] = gnorm

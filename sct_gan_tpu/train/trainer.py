@@ -146,17 +146,15 @@ class SmartContractTrainer:
             adam_b1=cfg.adam_b1, adam_b2=cfg.adam_b2, adam_eps=cfg.adam_eps,
             weight_decay=cfg.weight_decay)
         self.group_idx = group_index_tree(params, self.use_gan)
-        # flattened vector optimizer (~12 ms/step cheaper; see
-        # optimizer.FusedOptimizer) — not under mp sharding, where its
-        # gradient concat would all-gather every step
-        mp_size = dict(zip(self.mesh.axis_names, self.mesh.devices.shape)
-                       ).get("mp", 1)
+        # single-pass fused tree optimizer (optimizer.FusedOptimizer):
+        # identical numerics to the optax chain, one touch per leaf,
+        # mesh-sharding compatible (no concat — GSPMD lowers its reductions
+        # to the right collectives under mp too)
         self.fused_opt = (FusedOptimizer(
             params, use_gan=self.use_gan, max_grad_norm=cfg.max_grad_norm,
             adam_b1=cfg.adam_b1, adam_b2=cfg.adam_b2, adam_eps=cfg.adam_eps,
             weight_decay=cfg.weight_decay)
-            if getattr(cfg, "fused_optimizer", False) and mp_size == 1
-            else None)
+            if getattr(cfg, "fused_optimizer", False) else None)
         opt_state = (self.fused_opt.init(params) if self.fused_opt is not None
                      else self.grad_tx.init(params))
         self.state = TrainState(params, opt_state, jnp.int32(0))
