@@ -182,3 +182,43 @@ def test_tensor_parallel_step_matches_single_device(tiny_tokenizer, loaders):
     assert q_kernels and any(
         not s.is_fully_replicated for s in
         [v.sharding for v in q_kernels])
+
+
+@pytest.mark.slow
+def test_fused_optimizer_step_under_mp_matches_optax(tiny_tokenizer, loaders):
+    """The fused tree optimizer must run under dp=4 × mp=2 sharding (its
+    reductions lower to collectives — no concat) and track the optax-chain
+    trainer step-for-step."""
+    from sct_gan_tpu.parallel.mesh import shard_batch
+    from sct_gan_tpu.train.train_step import DynamicScalars
+
+    model = SmartContractTransformer(TINY)
+    mesh42 = make_mesh(dp=4, mp=2)
+    trainers = {}
+    for name, fused in (("optax", False), ("fused", True)):
+        cfg = TrainConfig(learning_rate=1e-3, use_gan=True, warmup_epochs=1,
+                          fused_optimizer=fused)
+        trainers[name] = SmartContractTrainer(
+            model, loaders[0], loaders[1], tiny_tokenizer, config=cfg,
+            mesh=mesh42, seed=7, verbose=False)
+    assert trainers["fused"].fused_opt is not None
+    batch = next(iter(loaders[0]))
+    batch = {k: (np.repeat(v[:1], 4, axis=0) if isinstance(v, np.ndarray)
+                 else v) for k, v in batch.items()}
+    scalars = DynamicScalars.init()._replace(
+        line_vuln_weight=jnp.float32(1.0))
+    states = {k: t.state for k, t in trainers.items()}
+    for step in range(2):
+        rng = jax.random.PRNGKey(step)
+        metrics = {}
+        for name, t in trainers.items():
+            states[name], metrics[name], _ = t.train_step(
+                states[name], shard_batch(batch, mesh42), scalars,
+                t._group_lrs(), rng)
+        np.testing.assert_allclose(float(metrics["optax"]["grad_norm"]),
+                                   float(metrics["fused"]["grad_norm"]),
+                                   rtol=2e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(states["optax"].params),
+                    jax.tree_util.tree_leaves(states["fused"].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
