@@ -104,6 +104,13 @@ class SmartContractAnalyzer:
             self._dp = int(mesh.shape.get("dp", 1))
             self.params = jax.device_put(self.params,
                                          replicated_sharding(mesh))
+        else:
+            # pin params on device ONCE. Checkpoint restore returns host
+            # numpy arrays, and passing those to a jitted call re-transfers
+            # the full 556 MB parameter set EVERY call — on the tunneled
+            # runtime that is minutes of RPC serialization per batch (the
+            # round-3 eval-hang incident).
+            self.params = jax.device_put(self.params)
 
         # one compiled program per task, shared across all calls
         self._detect_fn = jax.jit(self._detect_forward)
@@ -308,6 +315,8 @@ class SmartContractAnalyzer:
             handles = dispatch(chunk)
             if pending is not None:
                 collect(*pending)
+            if start and start % (bs * 8) == 0:
+                self._log(f"analyzed {start}/{len(contract_codes)} contracts")
             pending = (start, chunk, handles)
         if pending is not None:
             collect(*pending)
