@@ -33,6 +33,14 @@ flash recipe (with M the dropout keep-mask, r the rate):
     dQ = dS K · s                                     (dQ kernel, Q-major)
 with P = exp(S − lse) recomputed tile-by-tile in VMEM. (The dropout-aware
 softmax-backward identity: Σ_k W_ik dW_ik = dO_i·O_i = D_i still holds.)
+All three kernels keep the score tile in natural (BQ, BK) orientation: the
+dKV kernel's Pᵀ dO / dSᵀ Q are `dot_general`s contracting the query dim —
+the MXU takes transposed operand feeds natively, so no f32 tile relayouts
+and no i1→f32 dropout-mask lift. When a kernel's contraction sequence is a
+single block (nk==1 fwd/dQ, nq==1 dKV — always true at the production
+L=1024 with the default blocks), a single-pass specialization skips the
+running-statistics scratch carry entirely (measured 0.213 vs 0.309 ms/call
+fwd at (8, 8, 1024, 128), tools/time_flash_variants.py).
 
 TPU layout notes: per-row statistics (lse, D) are carried in lane-broadcast
 (…, S, 128) buffers — a (1, 1, BQ) block of a (B, H, S) array violates the
@@ -87,6 +95,36 @@ def _fa_fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
     hi = pl.program_id(1)
     qi = pl.program_id(2)
     kj = pl.program_id(3)
+
+    if nk == 1:
+        # Single-pass specialization (production S<=block_k): no running
+        # max/sum carry, no alpha rescale, no scratch round-trips — measured
+        # 0.213 vs 0.309 ms/call at (8,8,1024,128) (tools/time_flash_variants).
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[0, :]
+        if causal:
+            rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = jnp.where(cols <= rows, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = jnp.where(s > _MASK_THRESHOLD, p, 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref, _tile_index(bi, hi, qi, 0, nh, nq, 1),
+                              bq, bk, dropout_rate)
+            p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+        v = v_ref[0, 0]
+        acc = jnp.dot(p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+        l_safe = jnp.where(l == 0.0, 1.0, l)   # fully-masked rows → zeros
+        o_ref[0, 0] = (acc / l_safe).astype(o_ref.dtype)
+        lse = m + jnp.log(l_safe)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:]).astype(
+            lse_ref.dtype)
+        return
 
     @pl.when(kj == 0)
     def _init():
@@ -224,6 +262,53 @@ def _fa_dkv_kernel(seed_ref, k_ref, v_ref, bias_ref, q_ref, do_ref, lse_ref,
     kj = pl.program_id(2)
     qi = pl.program_id(3)
 
+    # Everything in natural (BQ, BK) orientation: dV = Pᵀ dO and dK = dSᵀ Q
+    # are dot_generals contracting dim 0 of both operands — the MXU takes
+    # transposed operand feeds natively, so no (512, 1024) f32 relayout and
+    # (with dropout) no i1→f32 mask lift + transpose.
+    _c0 = (((0,), (0,)), ((), ()))
+
+    def _tile(qi_):
+        k = k_ref[0, 0]                                   # (BK, Dp) bf16
+        v = v_ref[0, 0]
+        inv_keep = (1.0 / (1.0 - dropout_rate)
+                    if dropout_rate > 0.0 else 1.0)
+        q = q_ref[0, 0]                                   # (BQ, Dp)
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, :, 0]                         # (BQ,)
+        dvec = d_ref[0, 0, :, 0]                          # (BQ,)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[0, :]                            # (1, BK) bcast
+        if causal:
+            rows = qi_ * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            cols = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = jnp.where(cols <= rows, s, _NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        p = jnp.where(s > _MASK_THRESHOLD, p, 0.0)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)  # (BQ,BK)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref,
+                              _tile_index(bi, hi, qi_, kj, nh, nq, nk),
+                              bq, bk, dropout_rate)
+            p_drop = jnp.where(keep, p * inv_keep, 0.0)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        else:
+            p_drop = p
+        mm_dtype = k.dtype  # bf16 matmul operands, f32 MXU accumulation
+        dv_t = jax.lax.dot_general(p_drop.astype(mm_dtype), do, _c0,
+                                   preferred_element_type=jnp.float32)
+        ds = (p * (dp - dvec[:, None])).astype(mm_dtype)
+        dk_t = jax.lax.dot_general(ds, q, _c0,
+                                   preferred_element_type=jnp.float32) * scale
+        return dk_t, dv_t                                 # (BK, Dp) each
+
+    if nq == 1:
+        # single-pass: no scratch accumulation round-trips
+        dk_t, dv_t = _tile(0)
+        dk_ref[0, 0] = dk_t.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_t.astype(dv_ref.dtype)
+        return
+
     @pl.when(qi == 0)
     def _init():
         dk_s[...] = jnp.zeros_like(dk_s)
@@ -234,41 +319,9 @@ def _fa_dkv_kernel(seed_ref, k_ref, v_ref, bias_ref, q_ref, do_ref, lse_ref,
 
     @pl.when(needed)
     def _compute():
-        k = k_ref[0, 0]                                   # (BK, Dp) bf16
-        v = v_ref[0, 0]
-        bias_col = bias_ref[0, :]                         # (1, BK)
-        inv_keep = (1.0 / (1.0 - dropout_rate)
-                    if dropout_rate > 0.0 else 1.0)
-        mm_dtype = k.dtype  # bf16 matmul operands, f32 MXU accumulation
-        q = q_ref[0, 0]                                   # (BQ, Dp)
-        do = do_ref[0, 0]
-        lse = lse_ref[0, 0, :, 0]                         # (BQ,)
-        dvec = d_ref[0, 0, :, 0]                          # (BQ,)
-        # sT: (BK, BQ) scores transposed
-        sT = jnp.dot(k, q.T, preferred_element_type=jnp.float32) * scale
-        sT = sT + bias_col.T                              # (BK, 1) broadcast
-        if causal:
-            rows = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 0)
-            cols = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 1)
-            sT = jnp.where(cols >= rows, sT, _NEG_INF)
-        pT = jnp.exp(sT - lse[None, :])
-        pT = jnp.where(sT > _MASK_THRESHOLD, pT, 0.0)
-        dpT = jnp.dot(v, do.T, preferred_element_type=jnp.float32)  # (BK,BQ)
-        if dropout_rate > 0.0:
-            # Mosaic can't transpose i1 vectors: lift the mask to f32 first
-            keepT = _keep_mask(seed_ref,
-                               _tile_index(bi, hi, qi, kj, nh, nq, nk),
-                               bq, bk, dropout_rate).astype(
-                jnp.float32).T * inv_keep                     # (BK, BQ)
-            pT_drop = pT * keepT
-            dpT = dpT * keepT
-        else:
-            pT_drop = pT
-        dv_s[...] = dv_s[...] + jnp.dot(pT_drop.astype(mm_dtype), do,
-                                        preferred_element_type=jnp.float32)
-        dsT = (pT * (dpT - dvec[None, :])).astype(mm_dtype)
-        dk_s[...] = dk_s[...] + jnp.dot(
-            dsT, q, preferred_element_type=jnp.float32) * scale
+        dk_t, dv_t = _tile(qi)
+        dk_s[...] = dk_s[...] + dk_t
+        dv_s[...] = dv_s[...] + dv_t
 
     @pl.when(qi == nq - 1)
     def _finalize():
@@ -284,6 +337,39 @@ def _fa_dq_kernel(seed_ref, q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref,
     qi = pl.program_id(2)
     kj = pl.program_id(3)
 
+    inv_keep = (1.0 / (1.0 - dropout_rate) if dropout_rate > 0.0 else 1.0)
+
+    def _tile(kj_):
+        """dS for one (qi, kj_) tile, in natural (BQ, BK) orientation."""
+        q = q_ref[0, 0]                                   # (BQ, Dp) bf16
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, :, 0]                         # (BQ,)
+        dvec = d_ref[0, 0, :, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + bias_ref[0, :]
+        if causal:
+            rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            cols = kj_ * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = jnp.where(cols <= rows, s, _NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        p = jnp.where(s > _MASK_THRESHOLD, p, 0.0)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        if dropout_rate > 0.0:
+            keep = _keep_mask(seed_ref,
+                              _tile_index(bi, hi, qi, kj_, nh, nq, nk),
+                              bq, bk, dropout_rate)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
+        return (p * (dp - dvec[:, None])).astype(q.dtype), k
+
+    if nk == 1:
+        # single-pass: no scratch accumulation round-trips
+        ds, k = _tile(0)
+        dq_ref[0, 0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                        * scale).astype(dq_ref.dtype)
+        return
+
     @pl.when(kj == 0)
     def _init():
         dq_s[...] = jnp.zeros_like(dq_s)
@@ -292,30 +378,7 @@ def _fa_dq_kernel(seed_ref, q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref,
 
     @pl.when(needed)
     def _compute():
-        q = q_ref[0, 0]                                   # (BQ, Dp) bf16
-        do = do_ref[0, 0]
-        lse = lse_ref[0, 0, :, 0]                         # (BQ,)
-        dvec = d_ref[0, 0, :, 0]
-        inv_keep = (1.0 / (1.0 - dropout_rate)
-                    if dropout_rate > 0.0 else 1.0)
-        mm_dtype = q.dtype  # bf16 matmul operands, f32 MXU accumulation
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        s = s + bias_ref[0, :]
-        if causal:
-            rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-            cols = kj * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            s = jnp.where(cols <= rows, s, _NEG_INF)
-        p = jnp.exp(s - lse[:, None])
-        p = jnp.where(s > _MASK_THRESHOLD, p, 0.0)
-        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        if dropout_rate > 0.0:
-            keep = _keep_mask(seed_ref,
-                              _tile_index(bi, hi, qi, kj, nh, nq, nk),
-                              bq, bk, dropout_rate)
-            dp = jnp.where(keep, dp * inv_keep, 0.0)
-        ds = (p * (dp - dvec[:, None])).astype(mm_dtype)
+        ds, k = _tile(kj)
         dq_s[...] = dq_s[...] + jnp.dot(
             ds, k, preferred_element_type=jnp.float32) * scale
 
