@@ -167,3 +167,42 @@ def test_fast_dropout_cpu_fallback():
     # gradient is mask/(1-rate)
     g = jax.grad(lambda x_: fast_dropout(x_, 0.5, key).sum())(x)
     assert jnp.allclose(g, (y != 0) / 0.5)
+
+
+@pytest.mark.parametrize("block_k,causal", [(256, False), (128, True),
+                                            (64, False)])
+def test_flash_attention_grads_match_reference_interpret(block_k, causal):
+    """Backward kernels (dKV natural-orientation dot_generals + the
+    single-pass specializations) vs reference autodiff, in interpreter
+    mode. block_k=256 exercises the nk==1/nq==1 single-pass paths;
+    128/64 exercise the streaming scratch-carry paths."""
+    from jax.experimental.pallas import tpu as pltpu
+    from sct_gan_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(1, 2, 256, 64)).astype(np.float32) * 0.3
+    k = rng.normal(size=(1, 2, 256, 64)).astype(np.float32) * 0.3
+    v = rng.normal(size=(1, 2, 256, 64)).astype(np.float32)
+    mask = rng.random((1, 256)) < 0.85
+    mask[:, 0] = True
+    g = rng.normal(size=q.shape).astype(np.float32)
+
+    def flash_loss(q_, k_, v_):
+        out = flash_attention(q_, k_, v_,
+                              key_padding_mask=jnp.asarray(mask),
+                              causal=causal, block_q=128, block_k=block_k)
+        return jnp.sum(out * jnp.asarray(g))
+
+    def ref_loss(q_, k_, v_):
+        out = mha_reference(q_, k_, v_, key_padding_mask=jnp.asarray(mask),
+                            causal=causal)
+        return jnp.sum(out * jnp.asarray(g))
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(flash_loss, argnums=(0, 1, 2))(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    exp = jax.grad(ref_loss, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for name, a, b in zip("qkv", got, exp):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4,
+                                   err_msg=f"d{name}")
