@@ -19,6 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated variant subset")
+    args = ap.parse_args()
+    only = {x for x in args.only.split(",") if x}
+
     from sct_gan_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
     import jax
@@ -77,10 +84,26 @@ def main() -> None:
         "drop0.0+flash": (0.0, True),
         "drop0.0+dense": (0.0, False),
     }.items():
+        if only and name not in only:
+            continue
         apply, params = stack_variant(dropout, flash)
         ms = time_grad(apply, params) * 1e3
         results[name] = ms
         print(f"{name:16s} {ms:6.2f} ms/layer fwd+bwd", flush=True)
+
+    # GELU cost probe: tanh-approximate GELU is within bf16 rounding of the
+    # exact erf form; if erf is a measurable VPU cost this shows it.
+    if not only or "tanhgelu" in only:
+        import sct_gan_tpu.models.layers as L
+        orig_gelu = L.gelu
+        try:
+            L.gelu = lambda x: jax.nn.gelu(x, approximate=True)
+            apply, params = stack_variant(0.0, True)
+            ms = time_grad(apply, params) * 1e3
+            print(f"{'drop0+flash+tanh':16s} {ms:6.2f} ms/layer fwd+bwd",
+                  flush=True)
+        finally:
+            L.gelu = orig_gelu
 
     # pure-matmul floor: same matmul shapes as one layer (qkvo + ffn), no
     # attention/LN/dropout — what the MXU alone would cost
