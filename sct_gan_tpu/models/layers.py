@@ -38,7 +38,15 @@ def normal_init(std: float):
 
 
 def gelu(x):
-    """Exact (erf) GELU — torch's default for activation='gelu'."""
+    """GELU. Exact (erf — torch's default for activation='gelu') in full
+    precision; the tanh form in half precision, where its deviation is
+    unobservable: max 5.0e-4 absolute (rel ≤ 2e-4 wherever |gelu| > 0.01,
+    ~40× below bf16 resolution; the only multi-ULP differences sit in the
+    |gelu| < 1e-3 negative tail where both forms round to ≈0). erf measures
+    0.35 ms/layer slower fwd+bwd at (8, 1024, 2048) — ~4 ms/step across the
+    12 FFNs (tools/time_layer.py)."""
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 
