@@ -1,0 +1,104 @@
+"""Fused LM-head + mean cross-entropy with a scatter-free backward.
+
+The teacher-forced generation loss (SCT-GAN/train.py:314-332: mean
+F.cross_entropy over 50,265-vocab logits) is the single most expensive slab
+of the train step. Differentiating the naive form
+
+    logits = hidden @ W + b;  ce = (logsumexp(logits) - logits[target]).mean()
+
+costs 43.4 ms/step fwd+bwd on-chip at (8, 1023, 768)x(768, 50265)
+(tools/time_lmce.py): XLA materializes the f32 softmax (1.6 GB) and — the
+real killer — expresses grad(take_along_axis) as a scatter-add into a fresh
+(B, S, V) buffer. The matmul floor of the same computation is ~6.6 ms.
+
+This custom-VJP computes the identical value with a hand-written backward:
+
+    dlogits = softmax - onehot        (one fused elementwise pass, bf16)
+    dhidden = (dlogits @ W^T) * g/N
+    dW      = (hidden^T @ dlogits) * g/N
+    db      = sum(dlogits) * g/N
+
+- no scatter: the onehot subtraction is an iota==target broadcast compare
+  fused into the exp pass;
+- the f32 softmax is never materialized: exp/sub/cast fuse into the bf16
+  dlogits production;
+- the g/N scaling is applied to the f32 matmul outputs (not to dlogits), so
+  the bf16 dlogits stays O(1)-conditioned;
+- forward numerics are bit-identical to the shipped path
+  (losses/syntax.py::cross_entropy_loss over an nn.Dense in compute dtype):
+  bf16 logits, f32 logsumexp, f32 picked.
+
+Works under GSPMD: all ops are jnp; with W sharded (None, "mp")
+(parallel/mesh.py:151) the vocab dimension of dlogits shards and XLA inserts
+the psum for dhidden automatically.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _logits(hidden: jnp.ndarray, kernel: jnp.ndarray,
+            bias: jnp.ndarray) -> jnp.ndarray:
+    """nn.Dense numerics in the hidden's compute dtype (flax promote_dtype:
+    params cast down to bf16 before the matmul/add)."""
+    dt = hidden.dtype
+    return hidden @ kernel.astype(dt) + bias.astype(dt)
+
+
+@jax.custom_vjp
+def fused_linear_cross_entropy(hidden: jnp.ndarray, kernel: jnp.ndarray,
+                               bias: jnp.ndarray,
+                               targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean token CE of ``softmax(hidden @ kernel + bias)`` vs ``targets``.
+
+    hidden: (B, S, D) compute-dtype activations (post output_norm/dropout,
+            already shifted to align with ``targets``)
+    kernel: (D, V) LM-head weight (param dtype)
+    bias:   (V,) LM-head bias
+    targets: (B, S) int token ids
+
+    Returns the scalar mean over ALL positions — the reference does not
+    ignore padding (SCT-GAN/train.py:324).
+    """
+    logits = _logits(hidden, kernel, bias)
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logits, targets[..., None],
+                                 axis=-1)[..., 0].astype(jnp.float32)
+    return (lse - picked).mean()
+
+
+def _fwd(hidden, kernel, bias, targets):
+    logits = _logits(hidden, kernel, bias)
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logits, targets[..., None],
+                                 axis=-1)[..., 0].astype(jnp.float32)
+    ce = (lse - picked).mean()
+    return ce, (hidden, kernel, bias, targets, lse)
+
+
+def _bwd(res, g):
+    hidden, kernel, bias, targets, lse = res
+    dt = hidden.dtype
+    v = kernel.shape[-1]
+    # recompute the logits (one matmul — cheaper than 824 MB round-trips)
+    logits = _logits(hidden, kernel, bias)
+    p = jnp.exp(logits.astype(jnp.float32) - lse[..., None])
+    onehot = (targets[..., None] ==
+              jnp.arange(v, dtype=targets.dtype)).astype(jnp.float32)
+    # O(1)-scaled bf16 dlogits; the tiny g/N factor multiplies the f32
+    # matmul outputs instead, preserving mantissa
+    dlogits = (p - onehot).astype(dt)
+    scale = (g / jnp.float32(targets.size))
+    dhidden = (jnp.matmul(dlogits, kernel.astype(dt).T,
+                          preferred_element_type=jnp.float32)
+               * scale).astype(dt)
+    dkernel = (jnp.einsum("bsd,bsv->dv", hidden, dlogits,
+                          preferred_element_type=jnp.float32)
+               * scale).astype(kernel.dtype)
+    dbias = (dlogits.astype(jnp.float32).sum(axis=(0, 1))
+             * scale).astype(bias.dtype)
+    return dhidden, dkernel, dbias, None
+
+
+fused_linear_cross_entropy.defvjp(_fwd, _bwd)
