@@ -39,6 +39,14 @@ class ModelConfig:
                                       # q/k/v/out projection weights (exact;
                                       # kills per-call activation pad copies)
     remat: bool = False               # jax.checkpoint encoder/decoder blocks
+    # Documented non-parity knob. The reference computes the line-slot
+    # count as token_to_line.max()+1 over the WHOLE batch (model.py:484):
+    # a long contract unmasks line slots of every short contract in the
+    # batch. The reference only ever serves batch-1 at inference, so its
+    # published results never exhibit the coupling — batched serving here
+    # would. True = per-row line counts (batch-of-one == batched);
+    # False (default) = reference parity.
+    per_sample_line_counts: bool = False
 
 
 @dataclass(frozen=True)

@@ -29,6 +29,26 @@ def binary_cross_entropy_with_logits(logits: jnp.ndarray,
         jnp.exp(-jnp.abs(logits)))
 
 
+def masked_mean(x: jnp.ndarray,
+                row_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Mean over ``x`` counting only rows where ``row_mask`` (B,) is 1.
+
+    With ``row_mask=None`` this is exactly ``x.mean()``. Used to keep the
+    static-batch padding of ragged tail batches (trainer._pad_to_dp) out of
+    the loss: the reference never pads, so duplicated pad rows must carry
+    zero weight for the loss/gradients to match an unpadded batch: the
+    masked mean over the padded batch equals the plain mean over the real
+    rows.
+    """
+    if row_mask is None:
+        return x.mean()
+    m = row_mask.astype(jnp.float32)
+    w = m.reshape((x.shape[0],) + (1,) * (x.ndim - 1))
+    per_row = x.size // x.shape[0]
+    return ((x.astype(jnp.float32) * w).sum()
+            / jnp.maximum(m.sum() * per_row, 1.0))
+
+
 def focal_loss(pred: jnp.ndarray, target: jnp.ndarray,
                alpha: float = 0.25, gamma: float = 2.0,
                reduction: str = "mean") -> jnp.ndarray:
@@ -126,6 +146,7 @@ def spatial_aware_focal_loss(
     gamma=2.0,
     spatial_weight=0.2,
     reduction: str = "mean",
+    row_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """SpatialAwareFocalLoss (train.py:129-172).
 
@@ -146,7 +167,7 @@ def spatial_aware_focal_loss(
         fl = fl + spatial_weight * _spatial_penalty(pred, target,
                                                     token_to_line)
     if reduction == "mean":
-        return fl.mean()
+        return masked_mean(fl, row_mask)
     if reduction == "sum":
         return fl.sum()
     return fl
@@ -154,7 +175,9 @@ def spatial_aware_focal_loss(
 
 def contract_level_focal_loss(pred: jnp.ndarray, target: jnp.ndarray,
                               alpha=0.05, gamma=4.0,
-                              reduction: str = "mean") -> jnp.ndarray:
+                              reduction: str = "mean",
+                              row_mask: Optional[jnp.ndarray] = None,
+                              ) -> jnp.ndarray:
     """ContractLevelFocalLoss (train.py:444-478): per-type focal with a 2×
     multiplier on missed vulnerabilities (target == 1 and prob < 0.5)."""
     probs = jax.nn.sigmoid(pred)
@@ -164,7 +187,7 @@ def contract_level_focal_loss(pred: jnp.ndarray, target: jnp.ndarray,
     fn_penalty = jnp.where((target == 1.0) & (probs < 0.5), 2.0, 1.0)
     fl = fl * fn_penalty
     if reduction == "mean":
-        return fl.mean()
+        return masked_mean(fl, row_mask)
     if reduction == "sum":
         return fl.sum()
     return fl

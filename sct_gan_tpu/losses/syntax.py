@@ -88,7 +88,8 @@ class SyntaxLossTables:
             break_id=tid("break"), continue_id=tid("continue"))
 
 
-def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                       row_mask=None) -> jnp.ndarray:
     """Mean token cross-entropy. Parity with F.cross_entropy(..., mean)
     over all positions — the reference does NOT ignore padding
     (train.py:324).
@@ -97,11 +98,19 @@ def cross_entropy_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray
     reshaping or materializing an f32 (B·S, V) array: on a 50k vocab the
     reshape alone forces a 1.6 GB layout copy (profiled at ~18 ms/step) and
     log_softmax another full-size temp. Here the only (…, V)-sized pass is
-    the f32 logsumexp reduction, fused by XLA over the bf16 logits."""
+    the f32 logsumexp reduction, fused by XLA over the bf16 logits.
+
+    ``row_mask`` (B,) weighs batch rows (0 = static-padding row added by
+    trainer._pad_to_dp — excluded so the mean matches an unpadded batch)."""
     lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
     picked = jnp.take_along_axis(logits, targets[..., None],
                                  axis=-1)[..., 0].astype(jnp.float32)
-    return (lse - picked).mean()
+    nll = lse - picked
+    if row_mask is None:
+        return nll.mean()
+    m = row_mask.astype(jnp.float32)
+    return ((nll * m[:, None]).sum()
+            / jnp.maximum(m.sum() * nll.shape[1], 1.0))
 
 
 def _window_has(token_match: jnp.ndarray, window: int) -> jnp.ndarray:
@@ -116,11 +125,17 @@ def _window_has(token_match: jnp.ndarray, window: int) -> jnp.ndarray:
 
 
 def syntax_penalty(target_ids: jnp.ndarray,
-                   tables: SyntaxLossTables) -> jnp.ndarray:
-    """Average violation penalty over the batch (train.py:334-427)."""
+                   tables: SyntaxLossTables,
+                   row_mask=None) -> jnp.ndarray:
+    """Average violation penalty over the batch (train.py:334-427).
+
+    ``row_mask`` (B,) excludes static-padding rows (trainer._pad_to_dp)
+    from both the violation totals and the count."""
     t = target_ids.astype(jnp.int32)
     cur = t[:, :-1]
     nxt = t[:, 1:]
+    w = (jnp.ones((t.shape[0], 1), jnp.float32) if row_mask is None
+         else row_mask.astype(jnp.float32)[:, None])
 
     total = jnp.zeros((), dtype=jnp.float32)
     count = jnp.zeros((), dtype=jnp.float32)
@@ -132,7 +147,7 @@ def syntax_penalty(target_ids: jnp.ndarray,
         for f in followers:
             ok = ok | (nxt == f)
         viol = match & ~ok
-        n = viol.sum().astype(jnp.float32)
+        n = (viol.astype(jnp.float32) * w).sum()
         total = total + 2.0 * n
         count = count + n
 
@@ -140,7 +155,7 @@ def syntax_penalty(target_ids: jnp.ndarray,
     stmt = ((cur == tables.return_id) | (cur == tables.break_id)
             | (cur == tables.continue_id))
     viol = stmt & (nxt != tables.semicolon_id)
-    n = viol.sum().astype(jnp.float32)
+    n = (viol.astype(jnp.float32) * w).sum()
     total = total + 1.5 * n
     count = count + n
 
@@ -149,13 +164,13 @@ def syntax_penalty(target_ids: jnp.ndarray,
     scan = t[:, :-1]
     close_p = _window_has(t == tables.close_paren_id, _PAREN_WINDOW)[:, :-1]
     viol = (scan == tables.open_paren_id) & ~close_p
-    n = viol.sum().astype(jnp.float32)
+    n = (viol.astype(jnp.float32) * w).sum()
     total = total + 1.0 * n
     count = count + n
 
     close_b = _window_has(t == tables.close_brace_id, _BRACE_WINDOW)[:, :-1]
     viol = (scan == tables.open_brace_id) & ~close_b
-    n = viol.sum().astype(jnp.float32)
+    n = (viol.astype(jnp.float32) * w).sum()
     total = total + 1.0 * n
     count = count + n
 
@@ -164,9 +179,10 @@ def syntax_penalty(target_ids: jnp.ndarray,
 
 def solidity_syntax_loss(logits: jnp.ndarray, target_ids: jnp.ndarray,
                          tables: SyntaxLossTables,
-                         syntax_weight: float = 0.5):
+                         syntax_weight: float = 0.5,
+                         row_mask=None):
     """CE + syntax_weight · penalty (train.py:314-332). Returns
     (total, ce, penalty) so the trainer can track the penalty separately."""
-    ce = cross_entropy_loss(logits, target_ids)
-    pen = syntax_penalty(target_ids, tables)
+    ce = cross_entropy_loss(logits, target_ids, row_mask=row_mask)
+    pen = syntax_penalty(target_ids, tables, row_mask=row_mask)
     return ce + syntax_weight * pen, ce, pen

@@ -274,11 +274,19 @@ class SmartContractTransformer(nn.Module):
             memory, token_to_line, num_lines,
             compute_dtype=self._dtype)
         self._debug_sow("line_means", means)
-        # Global line count across the batch (reference uses
-        # token_to_line.max()+1 over the whole batch tensor, model.py:484).
-        global_max = jnp.max(token_to_line) + 1
         slot_ids = jnp.arange(num_lines)
-        valid = slot_ids[None, :] < global_max          # (1, L)
+        if cfg.per_sample_line_counts:
+            # Non-parity knob (config.py): each row masks its own line
+            # count, so batched serving matches the reference's batch-1
+            # behavior for mixed-length inputs.
+            row_max = jnp.max(token_to_line, axis=-1, keepdims=True) + 1
+            valid = slot_ids[None, :] < row_max         # (B, L)
+        else:
+            # Global line count across the batch (reference uses
+            # token_to_line.max()+1 over the whole batch tensor,
+            # model.py:484).
+            global_max = jnp.max(token_to_line) + 1
+            valid = slot_ids[None, :] < global_max      # (1, L)
 
         line_pe = self._line_pe[None].astype(means.dtype)
         has_tokens = (counts > 0)[..., None]

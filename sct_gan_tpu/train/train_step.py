@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..losses.focal import contract_level_focal_loss, spatial_aware_focal_loss
+from ..losses.focal import (contract_level_focal_loss, masked_mean,
+                            spatial_aware_focal_loss)
 from ..losses.syntax import SyntaxLossTables, solidity_syntax_loss
 from .optimizer import GroupLRs, apply_group_lrs
 
@@ -55,16 +56,18 @@ class DynamicScalars(NamedTuple):
                    jnp.float32(2.0), jnp.float32(0.2))
 
 
-def _bce_logits_mean(logits, target):
-    return optax.sigmoid_binary_cross_entropy(logits, target).mean()
-
-
 def compute_losses(model, params, batch, scalars: DynamicScalars, rng,
                    *, use_gan: bool, use_augmentation: bool, tables,
                    deterministic: bool):
-    """Forward + full loss mix. Returns (total_loss, metrics)."""
+    """Forward + full loss mix. Returns (total_loss, metrics).
+
+    ``batch['row_valid']`` (B,), when present, marks static-padding rows
+    added by trainer._pad_to_dp with 0 — those rows are excluded from every
+    loss mean and metric so padded and unpadded tail batches produce
+    identical loss/gradients (the reference never pads)."""
     target_ids = batch["target_ids"] if (use_augmentation and
                                          "target_ids" in batch) else batch["input_ids"]
+    row_mask = batch.get("row_valid")
     rngs = {} if deterministic else {"dropout": rng}
     outputs = model.apply(
         {"params": params},
@@ -79,12 +82,12 @@ def compute_losses(model, params, batch, scalars: DynamicScalars, rng,
     )
 
     gen_loss, ce, syntax_pen = solidity_syntax_loss(
-        outputs["logits"], outputs["target_ids"], tables)
+        outputs["logits"], outputs["target_ids"], tables, row_mask=row_mask)
 
     contract_loss = contract_level_focal_loss(
         outputs["contract_vulnerability_logits"],
         batch["contract_vulnerabilities"].astype(jnp.float32),
-        alpha=0.05, gamma=4.0)
+        alpha=0.05, gamma=4.0, row_mask=row_mask)
 
     # labels come in (B, 8, L); logits are (B, L, 8) — the reference detects
     # and fixes this transposition at train.py:981-991.
@@ -93,7 +96,7 @@ def compute_losses(model, params, batch, scalars: DynamicScalars, rng,
     line_loss = spatial_aware_focal_loss(
         line_logits, line_labels, batch["token_to_line"],
         alpha=scalars.spatial_alpha, gamma=scalars.spatial_gamma,
-        spatial_weight=scalars.spatial_weight)
+        spatial_weight=scalars.spatial_weight, row_mask=row_mask)
 
     # Loss floors (train.py:1184-1186) and high-loss scaling (1189-1194).
     contract_loss = jnp.maximum(contract_loss, 1e-4)
@@ -109,15 +112,19 @@ def compute_losses(model, params, batch, scalars: DynamicScalars, rng,
         disc_logits = outputs["discriminator_logits"]
         real = jnp.ones_like(disc_logits)
         fake = jnp.zeros_like(disc_logits)
-        disc_loss = _bce_logits_mean(disc_logits, real)
+        disc_loss = masked_mean(
+            optax.sigmoid_binary_cross_entropy(disc_logits, real), row_mask)
         sig = jax.nn.sigmoid(disc_logits)
-        disc_conf = sig.mean()
+        disc_conf = masked_mean(sig, row_mask)
         conf_pen = jnp.where(disc_conf > 0.8,
-                             1.0 * (sig ** 2).mean() + 2.0 * (sig ** 4).mean(),
+                             1.0 * masked_mean(sig ** 2, row_mask)
+                             + 2.0 * masked_mean(sig ** 4, row_mask),
                              0.0)
         disc_loss = disc_loss + conf_pen
-        adv_loss = jnp.where(disc_conf < 0.3,
-                             _bce_logits_mean(disc_logits, fake), 0.0)
+        adv_loss = jnp.where(
+            disc_conf < 0.3,
+            masked_mean(optax.sigmoid_binary_cross_entropy(disc_logits, fake),
+                        row_mask), 0.0)
 
     w_c = scalars.contract_vuln_weight
     w_l = scalars.line_vuln_weight
@@ -132,6 +139,12 @@ def compute_losses(model, params, batch, scalars: DynamicScalars, rng,
         if use_gan:
             total = total + 0.05 * disc_loss + 0.02 * adv_loss
 
+    if row_mask is None:
+        ll_mean, ll_std = line_logits.mean(), line_logits.std()
+    else:
+        ll_mean = masked_mean(line_logits, row_mask)
+        ll_std = jnp.sqrt(jnp.maximum(
+            masked_mean((line_logits - ll_mean) ** 2, row_mask), 0.0))
     metrics = {
         "gen_loss": gen_loss,
         "ce_loss": ce,
@@ -141,61 +154,86 @@ def compute_losses(model, params, batch, scalars: DynamicScalars, rng,
         "discriminator_loss": disc_loss,
         "discriminator_confidence": disc_conf,
         "total_loss": total,
-        "line_logits_mean": line_logits.mean(),
-        "line_logits_std": line_logits.std(),
+        "line_logits_mean": ll_mean,
+        "line_logits_std": ll_std,
     }
-    return total, (metrics, line_logits, line_labels)
+    return total, (metrics, line_logits, line_labels, row_mask)
 
 
-def _line_batch_metrics(line_logits, line_labels):
+def _line_batch_metrics(line_logits, line_labels, row_mask=None):
     """Adaptive-threshold batch metrics (train.py:1047-1155).
 
     Quantile-based threshold with conservative/ultra fallbacks, then
     precision/recall/accuracy against the line labels — all on-device.
+    ``row_mask`` (B,) excludes static-padding rows (trainer._pad_to_dp)
+    from the quantiles, counts, and averages so padded tail batches report
+    the same numbers as unpadded ones.
     """
     probs = jax.nn.sigmoid(line_logits)
-    # One sort serves all three quantiles (0.99/0.995/0.999) — jnp.quantile
-    # would sort the full tensor once per call. Same linear interpolation.
-    sorted_p = jnp.sort(probs.ravel())
-    n = sorted_p.shape[0]
+    if row_mask is not None:
+        valid = jnp.broadcast_to(
+            row_mask.astype(bool).reshape(-1, 1, 1), probs.shape)
+        # invalid entries sort to the top; quantile positions index only
+        # the first n (valid) entries, so pads never influence thresholds
+        sorted_p = jnp.sort(jnp.where(valid, probs, jnp.inf).ravel())
+        n = row_mask.astype(jnp.float32).sum() * probs.shape[1] * probs.shape[2]
 
-    def _q(quant):
-        pos = quant * (n - 1)
-        lo = jnp.int32(int(np.floor(pos)))
-        w = jnp.float32(pos - np.floor(pos))
-        return sorted_p[lo] * (1.0 - w) + sorted_p[jnp.minimum(lo + 1, n - 1)] * w
+        def _q(quant):
+            pos = quant * (n - 1.0)
+            lo = jnp.floor(pos).astype(jnp.int32)
+            w = (pos - jnp.floor(pos)).astype(jnp.float32)
+            hi = jnp.minimum(lo + 1, (n - 1.0).astype(jnp.int32))
+            return sorted_p[lo] * (1.0 - w) + sorted_p[hi] * w
+    else:
+        valid = None
+        # One sort serves all three quantiles (0.99/0.995/0.999) —
+        # jnp.quantile would sort the full tensor once per call. Same
+        # linear interpolation.
+        sorted_p = jnp.sort(probs.ravel())
+        n = sorted_p.shape[0]
 
+        def _q(quant):
+            pos = quant * (n - 1)
+            lo = jnp.int32(int(np.floor(pos)))
+            w = jnp.float32(pos - np.floor(pos))
+            return sorted_p[lo] * (1.0 - w) + sorted_p[jnp.minimum(lo + 1, n - 1)] * w
+
+    mask_or = lambda p: p if valid is None else p & valid
     q99 = _q(0.99)
-    neg_regime = line_logits.mean() < -1.0
+    neg_regime = masked_mean(line_logits, row_mask) < -1.0
     thr = jnp.where(neg_regime,
                     jnp.clip(q99, 0.1, 0.4),
                     jnp.clip(q99, 0.3, 0.6))
-    preds = probs > thr
+    preds = mask_or(probs > thr)
     n_pred = preds.sum()
 
     # too-many-prediction fallbacks (train.py:1069-1086)
     cons_thr = jnp.minimum(0.8, _q(0.995))
-    preds = jnp.where(n_pred > 10000, probs > cons_thr, preds)
+    preds = jnp.where(n_pred > 10000, mask_or(probs > cons_thr), preds)
     n_pred = preds.sum()
     ultra_thr = jnp.minimum(0.9, _q(0.999))
-    preds = jnp.where(n_pred > 5000, probs > ultra_thr, preds)
+    preds = jnp.where(n_pred > 5000, mask_or(probs > ultra_thr), preds)
     n_pred = preds.sum()
 
     # no-prediction fallbacks (train.py:1088-1105)
-    pmax = probs.max()
+    pmax = (probs if valid is None else jnp.where(valid, probs, 0.0)).max()
     fb_thr = jnp.minimum(0.3, pmax * 0.5)
-    preds = jnp.where((n_pred == 0) & (pmax > 0.1), probs > fb_thr, preds)
+    preds = jnp.where((n_pred == 0) & (pmax > 0.1),
+                      mask_or(probs > fb_thr), preds)
     n_pred = preds.sum()
     ufb_thr = jnp.maximum(0.01, pmax * 0.3)
-    preds = jnp.where(n_pred == 0, probs > ufb_thr, preds)
+    preds = jnp.where(n_pred == 0, mask_or(probs > ufb_thr), preds)
 
     predf = preds.astype(jnp.float32)
-    tp = (predf * line_labels).sum()
-    total_vuln = line_labels.sum()
+    labelsf = (line_labels if valid is None
+               else jnp.where(valid, line_labels, 0.0))
+    tp = (predf * labelsf).sum()
+    total_vuln = labelsf.sum()
     total_pred = predf.sum()
     recall = jnp.where(total_vuln > 0, tp / jnp.maximum(total_vuln, 1.0), 0.0)
     precision = jnp.where(total_pred > 0, tp / jnp.maximum(total_pred, 1.0), 0.0)
-    accuracy = (predf == line_labels).mean()
+    accuracy = masked_mean((predf == line_labels).astype(jnp.float32),
+                           row_mask)
     return {
         "line_vuln_accuracy": accuracy,
         "line_vuln_precision": precision,
@@ -221,7 +259,7 @@ def make_train_step(model, grad_tx, group_idx, tables: SyntaxLossTables,
 
     def step(state: TrainState, batch, scalars: DynamicScalars,
              lrs: GroupLRs, rng):
-        (total, (metrics, line_logits, line_labels)), grads = (
+        (total, (metrics, line_logits, line_labels, row_mask)), grads = (
             jax.value_and_grad(
                 lambda p: compute_losses(
                     model, p, batch, scalars, rng, use_gan=use_gan,
@@ -229,7 +267,8 @@ def make_train_step(model, grad_tx, group_idx, tables: SyntaxLossTables,
                     deterministic=False),
                 has_aux=True)(state.params))
 
-        metrics.update(_line_batch_metrics(line_logits, line_labels))
+        metrics.update(_line_batch_metrics(line_logits, line_labels,
+                                           row_mask))
 
         if fused_opt is not None:
             # single-pass tree optimizer: clip norms, Adam, wd, group LRs,
@@ -287,7 +326,7 @@ def make_eval_step(model, tables: SyntaxLossTables, *, use_gan: bool,
     (train.py:1455-1470 — no discriminator term in validation)."""
 
     def step(params, batch, scalars: DynamicScalars):
-        total, (metrics, line_logits, line_labels) = compute_losses(
+        total, (metrics, line_logits, line_labels, _) = compute_losses(
             model, params, batch, scalars, jax.random.PRNGKey(0),
             use_gan=use_gan, use_augmentation=use_augmentation,
             tables=tables, deterministic=True)

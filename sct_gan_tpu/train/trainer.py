@@ -457,14 +457,22 @@ class SmartContractTrainer:
         """Pad every batch to ONE static size (the max batch size seen,
         rounded to a dp multiple): ragged tail batches would otherwise
         trigger a full XLA recompile per distinct size (~minutes each on the
-        remote compiler)."""
+        remote compiler).
+
+        Padding rows repeat the last real row but carry ``row_valid=0``, so
+        the loss/metric masking in train_step.compute_losses gives them zero
+        weight — a padded tail batch yields the same loss, gradients, and
+        metrics as the unpadded batch (the reference never pads; duplicated
+        rows with full weight would bias every mean toward the last row)."""
         dp = self.mesh.shape.get("dp", 1)
         b = batch["input_ids"].shape[0]
         target = max(getattr(self, "_static_batch", 0),
                      dp * math.ceil(b / dp))
         self._static_batch = target
+        row_valid = np.zeros(target, dtype=np.float32)
+        row_valid[:b] = 1.0
         if b == target:
-            return batch
+            return {**batch, "row_valid": row_valid}
         pad = target - b
         out = {}
         for k, v in batch.items():
@@ -472,6 +480,7 @@ class SmartContractTrainer:
                 out[k] = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
             else:
                 out[k] = v
+        out["row_valid"] = row_valid
         return out
 
     # ------------------------------------------------------------------

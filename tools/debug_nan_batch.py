@@ -71,7 +71,7 @@ def main() -> None:
     tables = trainer.syntax_tables
 
     def loss_fn(params, batch, rng):
-        total, (metrics, _, _) = compute_losses(
+        total, (metrics, _, _, _) = compute_losses(
             model, params, batch, trainer._scalars(1.0), rng,
             use_gan=True, use_augmentation=True, tables=tables,
             deterministic=False)
