@@ -298,3 +298,225 @@ def test_line_label_builder_matches_reference(ref, tok):
         got = my_ds._create_multi_label_line_labels(row["source_code"], row)
         assert [list(map(int, l)) for l in want] == \
                [list(map(int, l)) for l in got]
+
+
+# ---------------------------------------------------------------------------
+# (d) weight-synced full-model forward
+# ---------------------------------------------------------------------------
+
+def _set_leaf(tree, path, value):
+    parts = path.split("/")
+    node = tree
+    for p in parts[:-1]:
+        node = node[p]
+    leaf = parts[-1]
+    assert leaf in node, f"no flax param at {path}"
+    assert node[leaf].shape == value.shape, (
+        f"{path}: flax {node[leaf].shape} vs torch {value.shape}")
+    node[leaf] = value
+
+
+def torch_state_to_flax(sd, params, d_model):
+    """Port a reference SmartContractTransformer state_dict into a flax
+    param tree of the same tiny config.
+
+    Conventions: nn.Linear weight (out,in) -> kernel (in,out) transposed;
+    nn.LayerNorm weight -> scale; nn.MultiheadAttention packed
+    in_proj_weight (3d,d) -> split q/k/v rows (torch F.multi_head_attention
+    packs q first). Returns the number of torch tensors consumed.
+    """
+    import copy
+    params = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
+    sd = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return sd[key]
+
+    def linear(dst, src):
+        _set_leaf(params, dst + "/kernel", take(src + ".weight").T)
+        _set_leaf(params, dst + "/bias", take(src + ".bias"))
+
+    def ln(dst, src):
+        _set_leaf(params, dst + "/scale", take(src + ".weight"))
+        _set_leaf(params, dst + "/bias", take(src + ".bias"))
+
+    def mha(dst, src):
+        w = take(src + ".in_proj_weight")
+        b = take(src + ".in_proj_bias")
+        for i, proj in enumerate(("q_proj", "k_proj", "v_proj")):
+            _set_leaf(params, f"{dst}/{proj}/kernel",
+                      w[i * d_model:(i + 1) * d_model].T)
+            _set_leaf(params, f"{dst}/{proj}/bias",
+                      b[i * d_model:(i + 1) * d_model])
+        linear(dst + "/out_proj", src + ".out_proj")
+
+    def seq(dst, src, layout):
+        """layout: list of (torch_seq_index, flax_name, kind)"""
+        for idx, name, kind in layout:
+            (linear if kind == "linear" else ln)(f"{dst}/{name}",
+                                                 f"{src}.{idx}")
+
+    _set_leaf(params, "embedding/embedding", take("embedding.weight"))
+    _set_leaf(params, "ast_embedding/embedding", take("ast_embedding.weight"))
+    _set_leaf(params, "empty_line_embedding", take("empty_line_embedding"))
+    ln("embedding_norm", "embedding_norm")
+    ln("ast_embedding_norm", "ast_embedding_norm")
+
+    enc_layers = sorted({k.split(".")[2] for k in sd
+                         if k.startswith("encoder.layers.")})
+    for i in enc_layers:
+        mha(f"encoder/layer_{i}/self_attn", f"encoder.layers.{i}.self_attn")
+        linear(f"encoder/layer_{i}/ffn/linear1", f"encoder.layers.{i}.linear1")
+        linear(f"encoder/layer_{i}/ffn/linear2", f"encoder.layers.{i}.linear2")
+        ln(f"encoder/layer_{i}/norm1", f"encoder.layers.{i}.norm1")
+        ln(f"encoder/layer_{i}/norm2", f"encoder.layers.{i}.norm2")
+    dec_layers = sorted({k.split(".")[2] for k in sd
+                         if k.startswith("decoder.layers.")})
+    for i in dec_layers:
+        mha(f"decoder/layer_{i}/self_attn", f"decoder.layers.{i}.self_attn")
+        mha(f"decoder/layer_{i}/cross_attn",
+            f"decoder.layers.{i}.multihead_attn")
+        linear(f"decoder/layer_{i}/ffn/linear1", f"decoder.layers.{i}.linear1")
+        linear(f"decoder/layer_{i}/ffn/linear2", f"decoder.layers.{i}.linear2")
+        for n in ("norm1", "norm2", "norm3"):
+            ln(f"decoder/layer_{i}/{n}", f"decoder.layers.{i}.{n}")
+
+    ln("output_norm", "output_norm")
+    linear("output_layer", "output_layer")
+
+    mha("ast_attention", "ast_attention")
+    mha("cross_attention", "cross_attention")
+    seq("feature_fusion", "feature_fusion",
+        [(0, "dense_0", "linear"), (1, "norm_0", "ln"),
+         (4, "dense_1", "linear"), (5, "norm_1", "ln"),
+         (8, "dense_2", "linear")])
+
+    mha("contract_vuln_attention", "contract_vuln_attention")
+    seq("contract_feature_aggregation", "contract_feature_aggregation",
+        [(0, "dense_0", "linear"), (1, "norm_0", "ln"),
+         (4, "dense_1", "linear"), (5, "norm_1", "ln")])
+    seq("contract_vulnerability_head", "contract_vulnerability_head",
+        [(0, "dense_0", "linear"), (1, "norm_0", "ln"),
+         (4, "dense_1", "linear"), (5, "norm_1", "ln"),
+         (8, "dense_2", "linear")])
+
+    for n in ("linear1", "linear2"):
+        linear(f"line_feature_extractor/{n}", f"line_feature_extractor.{n}")
+    for n in ("norm1", "norm2"):
+        ln(f"line_feature_extractor/{n}", f"line_feature_extractor.{n}")
+    mha("line_vuln_attention", "line_vuln_attention")
+    mha("vuln_type_attention", "vuln_type_attention")
+    seq("line_vulnerability_head_1", "line_vulnerability_head_1",
+        [(0, "dense_0", "linear"), (3, "dense_1", "linear"),
+         (6, "dense_2", "linear")])
+    seq("line_specific_processor", "line_specific_processor",
+        [(0, "dense_0", "linear"), (3, "dense_1", "linear")])
+    for t in range(8):
+        seq(f"vuln_type_processor_{t}/mlp", f"vuln_type_processor.{t}",
+            [(0, "dense_0", "linear"), (3, "dense_1", "linear")])
+
+    mha("disc_path_attention", "disc_path_attention")
+    linear("disc_grammar_projection", "disc_grammar_projection")
+    seq("disc_feature_extractor", "disc_feature_extractor",
+        [(0, "dense_0", "linear"), (1, "norm_0", "ln"),
+         (4, "dense_1", "linear"), (5, "norm_1", "ln")])
+    seq("disc_synthetic_head", "disc_synthetic_head",
+        [(0, "dense_0", "linear"), (1, "norm_0", "ln"),
+         (4, "dense_1", "linear")])
+
+    # Everything not consumed must be a buffer or a parameter the reference
+    # itself never uses in forward: the PE table (recomputed, checked by
+    # test_positional_encoding_matches_reference), path_embedding (alias of
+    # ast_embedding), and disc_grammar_embedding (dead: GrammarConstraint
+    # applies only the projection, model.py:37-40).
+    leftovers = {k for k in sd if k not in used}
+    assert leftovers <= {"pos_encoder.pe", "path_embedding.weight",
+                         "disc_grammar_embedding.weight"}, leftovers
+    return params
+
+
+import jax  # noqa: E402  (used by the converter above)
+
+
+@pytest.mark.slow
+def test_weight_synced_forward_matches_reference(ref, tok):
+    """d=32 SmartContractTransformer forward, torch weights ported to flax:
+    every logit family must match the reference to ~1e-4 in f32 (dropout
+    off). Pins the x0.1/x0.05 residual scales, the sqrt(d) embed scale,
+    PE placement, the empty-line embedding + line PE, the unmasked
+    contract-head pooling, the zero-pad of line logits, and the shifted
+    LM logits/targets (model.py:395-1030)."""
+    import torch
+    from sct_gan_tpu.config import ModelConfig
+    from sct_gan_tpu.data.dataset import (ArrayDataLoader,
+                                          SmartContractVulnerabilityDataset)
+    from sct_gan_tpu.data.synthetic import generate_corpus
+    from sct_gan_tpu.models.sct_transformer import SmartContractTransformer
+
+    d = 32
+    ref_model = ref["model"].SmartContractTransformer(
+        d_model=d, nhead=2, num_encoder_layers=2, num_decoder_layers=2,
+        dim_feedforward=64, dropout=0.0, max_length=64, vocab_size=512,
+        num_vulnerability_types=8, use_gan=True).eval()
+
+    cfg = ModelConfig(d_model=d, nhead=2, num_encoder_layers=2,
+                      num_decoder_layers=2, dim_feedforward=64, dropout=0.0,
+                      max_length=64, max_lines=64, vocab_size=512,
+                      use_gan=True, compute_dtype="float32",
+                      use_flash_attention=False)
+    model = SmartContractTransformer(cfg)
+
+    ds = SmartContractVulnerabilityDataset(
+        records=generate_corpus(n=2, seed=11), tokenizer=tok, max_length=64)
+    batch = next(iter(ArrayDataLoader(ds, batch_size=2, shuffle=False)))
+
+    init = model.init(
+        jax.random.PRNGKey(0),
+        input_ids=batch["input_ids"], attention_mask=batch["attention_mask"],
+        ast_input_ids=batch["ast_input_ids"],
+        ast_attention_mask=batch["ast_attention_mask"],
+        target_ids=batch["input_ids"],
+        token_to_line=batch["token_to_line"])["params"]
+    params = torch_state_to_flax(ref_model.state_dict(), init, d)
+
+    with torch.no_grad():
+        want = ref_model(
+            input_ids=torch.from_numpy(batch["input_ids"]).long(),
+            attention_mask=torch.from_numpy(batch["attention_mask"]).long(),
+            ast_input_ids=torch.from_numpy(batch["ast_input_ids"]).long(),
+            ast_attention_mask=torch.from_numpy(
+                batch["ast_attention_mask"]).long(),
+            target_ids=torch.from_numpy(batch["input_ids"]).long(),
+            token_to_line=torch.from_numpy(batch["token_to_line"]).long())
+
+    got = model.apply(
+        {"params": params},
+        input_ids=batch["input_ids"], attention_mask=batch["attention_mask"],
+        ast_input_ids=batch["ast_input_ids"],
+        ast_attention_mask=batch["ast_attention_mask"],
+        target_ids=batch["input_ids"],
+        token_to_line=batch["token_to_line"])
+
+    b, s = batch["input_ids"].shape
+    np.testing.assert_array_equal(
+        want["target_ids"].numpy().reshape(b, s - 1),
+        np.asarray(got["target_ids"]))
+    np.testing.assert_allclose(
+        np.asarray(got["contract_vulnerability_logits"]),
+        want["contract_vulnerability_logits"].numpy(),
+        rtol=1e-4, atol=1e-4)
+    # reference zero-pads line logits to a hard-coded 1024 (model.py:737-748)
+    want_lines = want["line_vulnerability_logits"].numpy()
+    assert want_lines.shape[1] == 1024
+    np.testing.assert_allclose(np.asarray(got["line_vulnerability_logits"]),
+                               want_lines[:, :cfg.max_lines], rtol=1e-4,
+                               atol=1e-4)
+    assert np.all(want_lines[:, cfg.max_lines:] == 0.0)
+    np.testing.assert_allclose(
+        np.asarray(got["logits"]).reshape(b * (s - 1), -1),
+        want["logits"].numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got["discriminator_logits"]),
+                               want["discriminator_logits"].numpy(),
+                               rtol=1e-4, atol=1e-4)
