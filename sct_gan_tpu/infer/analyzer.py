@@ -563,11 +563,17 @@ class SmartContractAnalyzer:
 
     def generate_simple_contract(self, prompt: str = "",
                                  max_length: int = 256,
-                                 temperature: float = 1.0,
-                                 repetition_penalty: float = 1.5) -> str:
-        """Repetition-aware diagnostic sampler (inference.py:1112-1211):
-        greedy-ish sampling with the previous token's logit divided by the
-        penalty. Uses the KV-cached decode path."""
+                                 temperature: float = 0.8,
+                                 repetition_penalty: float = 1.0) -> str:
+        """Repetition-aware diagnostic sampler (inference.py:1108-1195):
+        temperature 0.8, top-k 50, per-row consecutive-same-token tracking
+        with noise injection after 3 repeats and a hard stop after 8, EOS/PAD
+        stop after 20 tokens. Uses the KV-cached decode path.
+
+        ``repetition_penalty`` != 1 additionally divides the previous
+        token's (positive) logit by the penalty — an extra knob the
+        reference does not implement, so it defaults OFF for sample parity
+        (earlier revisions advertised 1.5 but silently ignored it)."""
         base = prompt or "pragma solidity ^0.8.0;"
         batch = self._prepare_inputs([base])
         memory = self.model.apply(
@@ -577,9 +583,11 @@ class SmartContractAnalyzer:
         src_mask = batch["attention_mask"].astype(bool)
         self._rng, sub = jax.random.split(self._rng)
         gen_fn = make_generate_fn(self.model, self.syntax_tables,
-                                  top_k=0, top_p=1.0, min_length=10,
+                                  top_k=50, top_p=1.0, min_length=20,
                                   max_length=min(max_length,
-                                                 self.max_length))
+                                                 self.max_length),
+                                  repetition_penalty=repetition_penalty,
+                                  track_repetition=True)
         tokens = gen_fn(self.params, memory, src_mask, sub, temperature)
         return self.tokenizer.decode(np.asarray(jax.device_get(tokens))[0],
                                      skip_special_tokens=True)

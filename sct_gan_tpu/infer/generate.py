@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..losses.syntax import SyntaxLossTables
-from ..ops.sampling import top_k_top_p_filter
+from ..ops.sampling import penalize_repetition, top_k_top_p_filter
 
 BOS_ID = 1
 EOS_ID = 2
@@ -61,7 +61,10 @@ def make_generate_fn(model, tables: Optional[SyntaxLossTables] = None,
                      *, top_k: int = 50, top_p: float = 0.95,
                      min_length: int = 50,
                      apply_syntax_constraints: bool = True,
-                     max_length: Optional[int] = None):
+                     max_length: Optional[int] = None,
+                     repetition_penalty: float = 1.0,
+                     track_repetition: bool = False,
+                     noise_after: int = 3, break_after: int = 8):
     """Build a jitted sampler:
     fn(params, memory, src_mask, rng, temperature) -> (B, L) ids.
 
@@ -69,6 +72,15 @@ def make_generate_fn(model, tables: Optional[SyntaxLossTables] = None,
     vulnerability heads can reuse the same encode — unlike the reference,
     which wastefully reruns them inside generation, model.py:412-759).
     ``temperature`` is a runtime scalar — changing it never recompiles.
+
+    ``track_repetition`` enables the reference diagnostic sampler's
+    repetition machinery (inference.py:1131-1185): a per-row consecutive-
+    same-token counter; once it exceeds ``noise_after`` the sampling
+    distribution gets uniform(0, 0.2) noise added and renormalized, and once
+    it exceeds ``break_after`` the row stops. ``repetition_penalty`` != 1
+    additionally divides (positive) / multiplies (negative) the previous
+    token's logit — a standard penalty the reference does NOT implement;
+    kept off by default for parity.
     """
     cfg = model.config
     max_len = int(max_length or cfg.max_length)
@@ -81,13 +93,14 @@ def make_generate_fn(model, tables: Optional[SyntaxLossTables] = None,
         tokens = jnp.full((b, max_len), PAD_ID, dtype=jnp.int32)
         tokens = tokens.at[:, 0].set(BOS_ID)
         finished = jnp.zeros((b,), dtype=bool)
+        rep_count = jnp.zeros((b,), dtype=jnp.int32)
 
         def cond(carry):
-            tokens, pos, finished, caches, rng = carry
+            tokens, pos, finished, rep_count, caches, rng = carry
             return (pos < max_len - 1) & ~jnp.all(finished)
 
         def body(carry):
-            tokens, pos, finished, caches, rng = carry
+            tokens, pos, finished, rep_count, caches, rng = carry
             cur = jax.lax.dynamic_slice_in_dim(tokens, pos, 1, axis=1)
             logits, caches = model.apply(
                 {"params": params}, cur, pos, caches, cross_kvs, src_mask,
@@ -95,19 +108,41 @@ def make_generate_fn(model, tables: Optional[SyntaxLossTables] = None,
             logits = logits / temperature
             if apply_syntax_constraints:
                 logits = _syntax_boost(logits, cur[:, 0], tables)
+            if repetition_penalty != 1.0:
+                logits = penalize_repetition(logits, cur[:, 0],
+                                             repetition_penalty)
             logits = top_k_top_p_filter(logits, top_k, top_p)
             rng, sub = jax.random.split(rng)
-            nxt = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+            if track_repetition:
+                # probs + U(0, 0.2) noise, renormalized, once a token has
+                # repeated > noise_after times (inference.py:1162-1166)
+                probs = jax.nn.softmax(logits, axis=-1)
+                rng, nrng = jax.random.split(rng)
+                noise = jax.random.uniform(nrng, probs.shape) * 0.2
+                noisy = probs + noise
+                noisy = noisy / noisy.sum(axis=-1, keepdims=True)
+                probs = jnp.where((rep_count > noise_after)[:, None],
+                                  noisy, probs)
+                nxt = jax.random.categorical(
+                    sub, jnp.log(probs), axis=-1).astype(jnp.int32)
+            else:
+                nxt = jax.random.categorical(sub, logits,
+                                             axis=-1).astype(jnp.int32)
             nxt = jnp.where(finished, PAD_ID, nxt)
             tokens = jax.lax.dynamic_update_slice_in_dim(
                 tokens, nxt[:, None], pos + 1, axis=1)
             # EOS/PAD stop after min length (model.py:922-930)
             stop = ((nxt == EOS_ID) | (nxt == PAD_ID)) & (pos > min_length)
+            if track_repetition:
+                rep_count = jnp.where(nxt == cur[:, 0], rep_count + 1, 0)
+                # row break on runaway repetition (inference.py:1184-1185)
+                stop = stop | (rep_count > break_after)
             finished = finished | stop
-            return tokens, pos + 1, finished, caches, rng
+            return tokens, pos + 1, finished, rep_count, caches, rng
 
-        tokens, _, _, _, _ = jax.lax.while_loop(
-            cond, body, (tokens, jnp.int32(0), finished, caches, rng))
+        tokens, _, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (tokens, jnp.int32(0), finished, rep_count, caches,
+                         rng))
         return tokens
 
     return jax.jit(generate)

@@ -102,8 +102,12 @@ def sample_categorical(rng: jax.Array, logits: jnp.ndarray,
 
 def penalize_repetition(logits: jnp.ndarray, prev_token: jnp.ndarray,
                         penalty: float = 1.5) -> jnp.ndarray:
-    """Divide the previous token's logit by ``penalty`` (repetition-aware
-    sampler used by the reference diagnostics, inference.py:1112-1211)."""
+    """Divide the previous token's positive logit by ``penalty`` (multiply
+    if negative) — the standard CTRL-style repetition penalty. The
+    reference's diagnostic sampler (inference.py:1108-1195) handles
+    repetition by noise injection + hard stop instead (see
+    infer.generate.make_generate_fn(track_repetition=True)); this op is the
+    extra opt-in knob behind its ``repetition_penalty`` argument."""
     vocab = logits.shape[-1]
     onehot = jax.nn.one_hot(prev_token, vocab, dtype=bool)
     return jnp.where(onehot, jnp.where(logits > 0, logits / penalty,

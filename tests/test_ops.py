@@ -206,3 +206,68 @@ def test_flash_attention_grads_match_reference_interpret(block_k, causal):
     for name, a, b in zip("qkv", got, exp):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4,
                                    err_msg=f"d{name}")
+
+
+def test_fused_linear_cross_entropy_value_and_grads():
+    """ops/fused_ce.py custom VJP vs jax.grad of the naive formulation:
+    value and all three gradients (hidden, kernel, bias) must match. Guards
+    the hand-written backward (softmax - onehot, scatter-free) against
+    regressions — previously only checked by the manual tools/time_lmce.py
+    run."""
+    import jax
+    from sct_gan_tpu.ops.fused_ce import fused_linear_cross_entropy
+
+    rng = np.random.default_rng(0)
+    b, s, d, v = 2, 16, 8, 64
+    x = jnp.asarray(rng.normal(0, 1, (b, s, d)), jnp.float32)
+    W = jnp.asarray(rng.normal(0, 0.3, (d, v)), jnp.float32)
+    bias = jnp.asarray(rng.normal(0, 0.1, (v,)), jnp.float32)
+    t = jnp.asarray(rng.integers(0, v, (b, s)), jnp.int32)
+
+    def naive(x, W, bias, t):
+        logits = x @ W + bias
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, t[..., None], axis=-1)[..., 0]
+        return (lse - picked).mean()
+
+    want = float(naive(x, W, bias, t))
+    got = float(fused_linear_cross_entropy(x, W, bias, t))
+    assert got == pytest.approx(want, rel=1e-6)
+
+    g_want = jax.grad(naive, argnums=(0, 1, 2))(x, W, bias, t)
+    g_got = jax.grad(fused_linear_cross_entropy,
+                     argnums=(0, 1, 2))(x, W, bias, t)
+    for name, a, e in zip(("dx", "dW", "db"), g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+    # cotangent scaling: grad of 3*ce must be 3x (exercises the g/N path)
+    g3 = jax.grad(lambda *a: 3.0 * fused_linear_cross_entropy(*a),
+                  argnums=(0,))(x, W, bias, t)[0]
+    np.testing.assert_allclose(np.asarray(g3), 3.0 * np.asarray(g_got[0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_linear_cross_entropy_bf16_matches_shipped_numerics():
+    """bf16 path: forward must be bit-identical to the shipped formulation
+    (bf16 logits incl. bias, f32 logsumexp/picked)."""
+    import jax
+    from sct_gan_tpu.ops.fused_ce import fused_linear_cross_entropy
+
+    rng = np.random.default_rng(1)
+    b, s, d, v = 2, 32, 16, 128
+    x = jnp.asarray(rng.normal(0, 1, (b, s, d)), jnp.bfloat16)
+    W = jnp.asarray(rng.normal(0, 0.3, (d, v)), jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(0, 0.1, (v,)), jnp.float32)
+    t = jnp.asarray(rng.integers(0, v, (b, s)), jnp.int32)
+
+    def shipped(x, W, bias, t):
+        logits = x @ W.astype(x.dtype) + bias.astype(x.dtype)
+        lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32),
+                                          axis=-1)
+        picked = jnp.take_along_axis(
+            logits, t[..., None], axis=-1)[..., 0].astype(jnp.float32)
+        return (lse - picked).mean()
+
+    assert float(fused_linear_cross_entropy(x, W, bias, t)) == \
+        float(shipped(x, W, bias, t))

@@ -12,7 +12,8 @@ Variants timed (fwd and fwd+bwd wrt x, W, b):
   chunked — lax.scan over vocab chunks with online (m, s) logsumexp; tests
             whether XLA-level chunking alone recovers the traffic (it
             cannot fuse reductions into matmul epilogues, so likely not)
-  fused   — ops/fused_ce.py Pallas kernel, if present
+  fused   — ops/fused_ce.py custom-VJP op (XLA-fused scatter-free backward,
+            not Pallas), if present
 
 Usage: python tools/time_lmce.py [--batch 8] [--seq 1024]
 """
@@ -49,9 +50,14 @@ def main() -> None:
     t = jnp.asarray(rng.integers(0, V, (B, S)), jnp.int32)
 
     def dense(x, W, b, t):
-        logits = (x @ W).astype(jnp.float32) + b
-        lse = jax.scipy.special.logsumexp(logits, axis=-1)
-        picked = jnp.take_along_axis(logits, t[..., None], axis=-1)[..., 0]
+        # exact shipped numerics (losses/syntax.py::cross_entropy_loss over
+        # an nn.Dense): bf16 logits incl. bias, f32 only inside the
+        # logsumexp reduction and the picked values — materializing f32
+        # logits here would overstate the shipped path's cost
+        logits = x @ W + b.astype(x.dtype)
+        lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+        picked = jnp.take_along_axis(logits, t[..., None],
+                                     axis=-1)[..., 0].astype(jnp.float32)
         return (lse - picked).mean()
 
     def chunked(x, W, b, t):
