@@ -329,6 +329,73 @@ def _fa_dkv_kernel(seed_ref, k_ref, v_ref, bias_ref, q_ref, do_ref, lse_ref,
         dv_ref[0, 0] = dv_s[...].astype(dv_ref.dtype)
 
 
+def _fa_bwd_fused_kernel(seed_ref, k_ref, v_ref, bias_ref, q_ref, do_ref,
+                         lse_ref, d_ref, dk_ref, dv_ref, dq_ref, dk_s, dv_s,
+                         *, bq, bk, causal, scale, dropout_rate, nh, nq):
+    """Single-kernel backward for the nk==1 case (K/V fit one block — always
+    true at the production L=1024): emits dQ from the SAME s/p/dp/dS tiles
+    the dKV pass computes, instead of recomputing them in a second kernel.
+    Saves 3 of the backward's 7 matmul passes (QK^T, dO·V^T, plus the exp)
+    per tile. Grid (B, H, nq): dQ is per-q-block output; dK/dV accumulate
+    over the q blocks in VMEM scratch exactly like _fa_dkv_kernel."""
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    qi = pl.program_id(2)
+
+    _c0 = (((0,), (0,)), ((), ()))
+    k = k_ref[0, 0]                                       # (BK, Dp) bf16
+    v = v_ref[0, 0]
+    q = q_ref[0, 0]                                       # (BQ, Dp)
+    do = do_ref[0, 0]
+    lse = lse_ref[0, 0, :, 0]                             # (BQ,)
+    dvec = d_ref[0, 0, :, 0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    s = s + bias_ref[0, :]
+    if causal:
+        rows = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where(cols <= rows, s, _NEG_INF)
+    p = jnp.exp(s - lse[:, None])
+    p = jnp.where(s > _MASK_THRESHOLD, p, 0.0)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)   # (BQ, BK)
+    if dropout_rate > 0.0:
+        inv_keep = 1.0 / (1.0 - dropout_rate)
+        keep = _keep_mask(seed_ref, _tile_index(bi, hi, qi, 0, nh, nq, 1),
+                          bq, bk, dropout_rate)
+        p_drop = jnp.where(keep, p * inv_keep, 0.0)
+        dp = jnp.where(keep, dp * inv_keep, 0.0)
+    else:
+        p_drop = p
+    mm_dtype = k.dtype
+    dv_t = jax.lax.dot_general(p_drop.astype(mm_dtype), do, _c0,
+                               preferred_element_type=jnp.float32)
+    ds = (p * (dp - dvec[:, None])).astype(mm_dtype)
+    dk_t = jax.lax.dot_general(ds, q, _c0,
+                               preferred_element_type=jnp.float32) * scale
+    dq_ref[0, 0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                    * scale).astype(dq_ref.dtype)
+
+    if nq == 1:
+        dk_ref[0, 0] = dk_t.astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_t.astype(dv_ref.dtype)
+        return
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_s[...] = dk_t
+        dv_s[...] = dv_t
+
+    @pl.when(qi > 0)
+    def _accum():
+        dk_s[...] = dk_s[...] + dk_t
+        dv_s[...] = dv_s[...] + dv_t
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_s[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_s[...].astype(dv_ref.dtype)
+
+
 def _fa_dq_kernel(seed_ref, q_ref, do_ref, lse_ref, d_ref, k_ref, v_ref,
                   bias_ref, dq_ref, dq_s, *, bq, bk, causal, scale,
                   dropout_rate, nh, nq, nk):
@@ -426,6 +493,39 @@ def _flash_backward(res, g, seed, causal, block_q, block_k, dropout_rate,
         (lambda b_, h_, i, j: (b_, 0, j)) if inner else
         (lambda b_, h_, i, j: (b_, 0, i)),
         memory_space=pltpu.VMEM)
+
+    if nk == 1:
+        # fused single-kernel backward: dQ comes out of the same s/p/dp/dS
+        # tiles as dK/dV — no second kernel, no recompute
+        kv_spec = pl.BlockSpec((1, 1, block_k, dp),
+                               lambda b_, h_, i: (b_, h_, 0, 0),
+                               memory_space=pltpu.VMEM)
+        b_spec = pl.BlockSpec((1, 1, block_k), lambda b_, h_, i: (b_, 0, 0),
+                              memory_space=pltpu.VMEM)
+        q_spec = lambda last: pl.BlockSpec(
+            (1, 1, block_q, last), lambda b_, h_, i: (b_, h_, i, 0),
+            memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((1, 1), lambda b_, h_, i: (0, 0),
+                              memory_space=pltpu.SMEM)
+        dk, dv, dq = pl.pallas_call(
+            functools.partial(_fa_bwd_fused_kernel, bq=block_q, bk=block_k,
+                              causal=causal, scale=scale,
+                              dropout_rate=dropout_rate, nh=h, nq=nq),
+            grid=(b, h, nq),
+            in_specs=[s_spec, kv_spec, kv_spec, b_spec,
+                      q_spec(dp), q_spec(dp), q_spec(128), q_spec(128)],
+            out_specs=(kv_spec, kv_spec, q_spec(dp)),
+            out_shape=(jax.ShapeDtypeStruct((b, h, skp, dp), qp.dtype),
+                       jax.ShapeDtypeStruct((b, h, skp, dp), qp.dtype),
+                       jax.ShapeDtypeStruct((b, h, sqp, dp), qp.dtype)),
+            scratch_shapes=[pltpu.VMEM((block_k, dp), jnp.float32),
+                            pltpu.VMEM((block_k, dp), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=10 * b * h * sqp * skp * dp,
+                bytes_accessed=(2 * qp.size + kpad.size + vpad.size) * 4,
+                transcendentals=b * h * sqp * skp),
+        )(seed2d, kpad, vpad, bias, qp, do, lse, dvec)
+        return dq[:, :, :sq, :dh], dk[:, :, :, :dh], dv[:, :, :, :dh]
 
     dk, dv = pl.pallas_call(
         functools.partial(_fa_dkv_kernel, bq=block_q, bk=block_k,

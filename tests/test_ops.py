@@ -271,3 +271,38 @@ def test_fused_linear_cross_entropy_bf16_matches_shipped_numerics():
 
     assert float(fused_linear_cross_entropy(x, W, bias, t)) == \
         float(shipped(x, W, bias, t))
+
+
+def test_flash_fused_backward_single_block_interpret():
+    """nq==1, nk==1: the fused backward kernel's no-scratch path (whole
+    sequence in one tile) vs reference autodiff."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from sct_gan_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(9)
+    q = rng.normal(size=(2, 2, 256, 64)).astype(np.float32)
+    k = rng.normal(size=(2, 2, 256, 64)).astype(np.float32)
+    v = rng.normal(size=(2, 2, 256, 64)).astype(np.float32)
+    g = rng.normal(size=q.shape).astype(np.float32)
+    mask = rng.random((2, 256)) < 0.9
+    mask[:, 0] = True
+
+    def flash_loss(q_, k_, v_):
+        out = flash_attention(q_, k_, v_, key_padding_mask=jnp.asarray(mask),
+                              causal=True, block_q=256, block_k=256)
+        return jnp.sum(out * jnp.asarray(g))
+
+    def ref_loss(q_, k_, v_):
+        out = mha_reference(q_, k_, v_, key_padding_mask=jnp.asarray(mask),
+                            causal=True)
+        return jnp.sum(out * jnp.asarray(g))
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(flash_loss, argnums=(0, 1, 2))(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    exp = jax.grad(ref_loss, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    for name, a, b in zip("qkv", got, exp):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4,
+                                   err_msg=f"d{name}")
