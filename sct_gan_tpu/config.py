@@ -108,6 +108,13 @@ class TrainConfig:
     # 18.5 ms/step — the 896 MB gather/scatter swamped the launch savings —
     # and was replaced by this.)
     fused_optimizer: bool = False
+    # Fuse the LM head matmul + mean token CE into one custom-VJP op
+    # (ops/fused_ce.py): the (B, S, 50k) logits are produced AND reduced
+    # inside the op — never materialized between model and loss — and the
+    # backward is scatter-free (softmax - onehot). Value is bit-identical
+    # to the unfused path; gradients match to f32 rounding
+    # (tests/test_ops.py::test_fused_linear_cross_entropy_*).
+    fused_lm_ce: bool = True
     # Augmentation variant bank: pre-generate up to N tokenized variants per
     # contract the first time it is seen, then sample among them on later
     # epochs. Kills the host-bound epoch (the reference re-runs its regex

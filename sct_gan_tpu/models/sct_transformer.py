@@ -389,16 +389,25 @@ class SmartContractTransformer(nn.Module):
                               deterministic=True)
         return memory, src_mask
 
-    def decode_teacher_forced(self, target_ids, memory, src_mask,
-                              deterministic: bool = True):
-        """Teacher-forced decode → full-sequence vocab logits
-        (model.py:942-959)."""
+    def decode_hidden(self, target_ids, memory, src_mask,
+                      deterministic: bool = True):
+        """Teacher-forced decode up to (and including) output_norm/dropout —
+        everything except the LM-head matmul. The fused LM-CE path consumes
+        this directly so the (B, S, 50k) logits are produced and reduced
+        inside one custom-VJP op (ops/fused_ce.py) instead of being
+        materialized between the model and the loss."""
         tgt_emb = self.embed_target(target_ids, deterministic)
         out = self.decoder(tgt_emb, memory,
                            memory_key_padding_mask=src_mask,
                            deterministic=deterministic)
         out = self.output_norm(out)
-        out = self.output_dropout(out, deterministic=deterministic)
+        return self.output_dropout(out, deterministic=deterministic)
+
+    def decode_teacher_forced(self, target_ids, memory, src_mask,
+                              deterministic: bool = True):
+        """Teacher-forced decode → full-sequence vocab logits
+        (model.py:942-959)."""
+        out = self.decode_hidden(target_ids, memory, src_mask, deterministic)
         # stay in compute dtype: the (B, S, 50k) logits are 1.6 GB in f32 —
         # consumers (CE, sampling) upcast per-tile inside fused kernels
         return self.output_layer(out)
@@ -406,10 +415,16 @@ class SmartContractTransformer(nn.Module):
     # -- full training/eval forward ---------------------------------------------
     def __call__(self, input_ids, attention_mask=None, ast_input_ids=None,
                  ast_attention_mask=None, target_ids=None, token_to_line=None,
-                 deterministic: bool = True) -> Dict[str, Any]:
+                 deterministic: bool = True,
+                 return_lm_hidden: bool = False) -> Dict[str, Any]:
         """Training-mode forward (target_ids required; generation is in
         infer/generate.py). Returns the reference's output dict
-        (model.py:966-973) with unflattened shifted logits."""
+        (model.py:966-973) with unflattened shifted logits.
+
+        ``return_lm_hidden=True`` (train-step fast path) returns the shifted
+        pre-LM-head hidden states under "lm_hidden" INSTEAD of "logits" —
+        the fused linear+CE op then produces/reduces the 50k-vocab logits
+        without ever materializing them between model and loss."""
         b, s = input_ids.shape
         src_mask = (attention_mask.astype(bool) if attention_mask is not None
                     else jnp.ones((b, s), dtype=bool))
@@ -433,9 +448,14 @@ class SmartContractTransformer(nn.Module):
         }
 
         if target_ids is not None:
-            logits = self.decode_teacher_forced(target_ids, memory, src_mask,
-                                                deterministic)
-            out["logits"] = logits[:, :-1, :]
+            if return_lm_hidden:
+                hidden = self.decode_hidden(target_ids, memory, src_mask,
+                                            deterministic)
+                out["lm_hidden"] = hidden[:, :-1, :]
+            else:
+                logits = self.decode_teacher_forced(
+                    target_ids, memory, src_mask, deterministic)
+                out["logits"] = logits[:, :-1, :]
             out["target_ids"] = target_ids[:, 1:]
 
         out["discriminator_logits"] = (

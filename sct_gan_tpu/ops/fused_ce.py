@@ -46,10 +46,22 @@ def _logits(hidden: jnp.ndarray, kernel: jnp.ndarray,
     return hidden @ kernel.astype(dt) + bias.astype(dt)
 
 
+def _ce_value(logits, targets, row_weights):
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logits, targets[..., None],
+                                 axis=-1)[..., 0].astype(jnp.float32)
+    nll = lse - picked                                     # (B, S)
+    if row_weights is None:
+        return nll.mean(), lse, jnp.float32(targets.size)
+    w = row_weights.astype(jnp.float32)
+    n_eff = jnp.maximum(w.sum() * nll.shape[1], 1.0)
+    return (nll * w[:, None]).sum() / n_eff, lse, n_eff
+
+
 @jax.custom_vjp
 def fused_linear_cross_entropy(hidden: jnp.ndarray, kernel: jnp.ndarray,
-                               bias: jnp.ndarray,
-                               targets: jnp.ndarray) -> jnp.ndarray:
+                               bias: jnp.ndarray, targets: jnp.ndarray,
+                               row_weights=None) -> jnp.ndarray:
     """Mean token CE of ``softmax(hidden @ kernel + bias)`` vs ``targets``.
 
     hidden: (B, S, D) compute-dtype activations (post output_norm/dropout,
@@ -57,28 +69,25 @@ def fused_linear_cross_entropy(hidden: jnp.ndarray, kernel: jnp.ndarray,
     kernel: (D, V) LM-head weight (param dtype)
     bias:   (V,) LM-head bias
     targets: (B, S) int token ids
+    row_weights: optional (B,) 0/1 weights — static-padding rows
+            (trainer._pad_to_dp) carry 0 so the mean matches an unpadded
+            batch (losses/syntax.py::cross_entropy_loss semantics)
 
-    Returns the scalar mean over ALL positions — the reference does not
-    ignore padding (SCT-GAN/train.py:324).
+    Returns the scalar mean over ALL (weighted) positions — the reference
+    does not ignore padding (SCT-GAN/train.py:324).
     """
-    logits = _logits(hidden, kernel, bias)
-    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
-    picked = jnp.take_along_axis(logits, targets[..., None],
-                                 axis=-1)[..., 0].astype(jnp.float32)
-    return (lse - picked).mean()
+    ce, _, _ = _ce_value(_logits(hidden, kernel, bias), targets, row_weights)
+    return ce
 
 
-def _fwd(hidden, kernel, bias, targets):
-    logits = _logits(hidden, kernel, bias)
-    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
-    picked = jnp.take_along_axis(logits, targets[..., None],
-                                 axis=-1)[..., 0].astype(jnp.float32)
-    ce = (lse - picked).mean()
-    return ce, (hidden, kernel, bias, targets, lse)
+def _fwd(hidden, kernel, bias, targets, row_weights):
+    ce, lse, _ = _ce_value(_logits(hidden, kernel, bias), targets,
+                           row_weights)
+    return ce, (hidden, kernel, bias, targets, lse, row_weights)
 
 
 def _bwd(res, g):
-    hidden, kernel, bias, targets, lse = res
+    hidden, kernel, bias, targets, lse, row_weights = res
     dt = hidden.dtype
     v = kernel.shape[-1]
     # recompute the logits (one matmul — cheaper than 824 MB round-trips)
@@ -89,7 +98,13 @@ def _bwd(res, g):
     # O(1)-scaled bf16 dlogits; the tiny g/N factor multiplies the f32
     # matmul outputs instead, preserving mantissa
     dlogits = (p - onehot).astype(dt)
-    scale = (g / jnp.float32(targets.size))
+    if row_weights is None:
+        n_eff = jnp.float32(targets.size)
+    else:
+        w = row_weights.astype(jnp.float32)
+        n_eff = jnp.maximum(w.sum() * targets.shape[1], 1.0)
+        dlogits = dlogits * w[:, None, None].astype(dt)
+    scale = g / n_eff
     dhidden = (jnp.matmul(dlogits, kernel.astype(dt).T,
                           preferred_element_type=jnp.float32)
                * scale).astype(dt)
@@ -98,7 +113,7 @@ def _bwd(res, g):
                * scale).astype(kernel.dtype)
     dbias = (dlogits.astype(jnp.float32).sum(axis=(0, 1))
              * scale).astype(bias.dtype)
-    return dhidden, dkernel, dbias, None
+    return dhidden, dkernel, dbias, None, None
 
 
 fused_linear_cross_entropy.defvjp(_fwd, _bwd)

@@ -58,13 +58,17 @@ class DynamicScalars(NamedTuple):
 
 def compute_losses(model, params, batch, scalars: DynamicScalars, rng,
                    *, use_gan: bool, use_augmentation: bool, tables,
-                   deterministic: bool):
+                   deterministic: bool, fused_lm_ce: bool = False):
     """Forward + full loss mix. Returns (total_loss, metrics).
 
     ``batch['row_valid']`` (B,), when present, marks static-padding rows
     added by trainer._pad_to_dp with 0 — those rows are excluded from every
     loss mean and metric so padded and unpadded tail batches produce
-    identical loss/gradients (the reference never pads)."""
+    identical loss/gradients (the reference never pads).
+
+    ``fused_lm_ce``: compute the generation CE through the fused
+    LM-head+CE custom VJP (ops/fused_ce.py) — same value, scatter-free
+    backward, no materialized (B, S, 50k) logits between model and loss."""
     target_ids = batch["target_ids"] if (use_augmentation and
                                          "target_ids" in batch) else batch["input_ids"]
     row_mask = batch.get("row_valid")
@@ -78,11 +82,24 @@ def compute_losses(model, params, batch, scalars: DynamicScalars, rng,
         target_ids=target_ids,
         token_to_line=batch["token_to_line"],
         deterministic=deterministic,
+        return_lm_hidden=fused_lm_ce,
         rngs=rngs,
     )
 
-    gen_loss, ce, syntax_pen = solidity_syntax_loss(
-        outputs["logits"], outputs["target_ids"], tables, row_mask=row_mask)
+    if fused_lm_ce:
+        from ..losses.syntax import syntax_penalty
+        from ..ops.fused_ce import fused_linear_cross_entropy
+        ol = params["output_layer"]
+        ce = fused_linear_cross_entropy(
+            outputs["lm_hidden"], ol["kernel"], ol["bias"],
+            outputs["target_ids"], row_mask)
+        syntax_pen = syntax_penalty(outputs["target_ids"], tables,
+                                    row_mask=row_mask)
+        gen_loss = ce + 0.5 * syntax_pen     # syntax_weight (train.py:314)
+    else:
+        gen_loss, ce, syntax_pen = solidity_syntax_loss(
+            outputs["logits"], outputs["target_ids"], tables,
+            row_mask=row_mask)
 
     contract_loss = contract_level_focal_loss(
         outputs["contract_vulnerability_logits"],
@@ -246,7 +263,8 @@ def _line_batch_metrics(line_logits, line_labels, row_mask=None):
 
 def make_train_step(model, grad_tx, group_idx, tables: SyntaxLossTables,
                     *, use_gan: bool, use_augmentation: bool,
-                    donate: bool = True, fused_opt=None, fusion_mask=None):
+                    donate: bool = True, fused_opt=None, fusion_mask=None,
+                    fused_lm_ce: bool = False):
     """Build the jitted train step.
 
     step(state, batch, scalars, lrs, rng) -> (state, metrics, next_scalars)
@@ -264,7 +282,7 @@ def make_train_step(model, grad_tx, group_idx, tables: SyntaxLossTables,
                 lambda p: compute_losses(
                     model, p, batch, scalars, rng, use_gan=use_gan,
                     use_augmentation=use_augmentation, tables=tables,
-                    deterministic=False),
+                    deterministic=False, fused_lm_ce=fused_lm_ce),
                 has_aux=True)(state.params))
 
         metrics.update(_line_batch_metrics(line_logits, line_labels,
@@ -321,7 +339,7 @@ def make_train_step(model, grad_tx, group_idx, tables: SyntaxLossTables,
 
 
 def make_eval_step(model, tables: SyntaxLossTables, *, use_gan: bool,
-                   use_augmentation: bool):
+                   use_augmentation: bool, fused_lm_ce: bool = False):
     """Validation step: eval-mode forward + the reference's val loss mix
     (train.py:1455-1470 — no discriminator term in validation)."""
 
@@ -329,7 +347,7 @@ def make_eval_step(model, tables: SyntaxLossTables, *, use_gan: bool,
         total, (metrics, line_logits, line_labels, _) = compute_losses(
             model, params, batch, scalars, jax.random.PRNGKey(0),
             use_gan=use_gan, use_augmentation=use_augmentation,
-            tables=tables, deterministic=True)
+            tables=tables, deterministic=True, fused_lm_ce=fused_lm_ce)
         w_c = scalars.contract_vuln_weight
         w_l = scalars.line_vuln_weight
         if use_augmentation:

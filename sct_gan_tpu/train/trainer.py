@@ -160,14 +160,16 @@ class SmartContractTrainer:
         self.state = TrainState(params, opt_state, jnp.int32(0))
 
         self.syntax_tables = SyntaxLossTables.from_tokenizer(tokenizer)
+        fused_lm_ce = getattr(cfg, "fused_lm_ce", False)
         self.train_step = make_train_step(
             model, self.grad_tx, self.group_idx, self.syntax_tables,
             use_gan=self.use_gan, use_augmentation=self.use_augmentation,
             fused_opt=self.fused_opt,
-            fusion_mask=fusion_mask_tree(params))
+            fusion_mask=fusion_mask_tree(params),
+            fused_lm_ce=fused_lm_ce)
         self.eval_step = make_eval_step(
             model, self.syntax_tables, use_gan=self.use_gan,
-            use_augmentation=self.use_augmentation)
+            use_augmentation=self.use_augmentation, fused_lm_ce=fused_lm_ce)
 
         # -- group LRs (train.py:530-540) + scheduler -----------------------
         lr = cfg.learning_rate
@@ -469,11 +471,16 @@ class SmartContractTrainer:
         target = max(getattr(self, "_static_batch", 0),
                      dp * math.ceil(b / dp))
         self._static_batch = target
+        if b == target and "row_valid" not in batch:
+            # full batch: no mask — masked and plain means are identical
+            # with all rows valid, and omitting the mask keeps the hot path
+            # on the cheaper unmasked reductions. The jit sees row_valid as
+            # an optional batch key, so full and padded batches compile two
+            # variants once each (sizes are already static).
+            return batch
+        pad = target - b
         row_valid = np.zeros(target, dtype=np.float32)
         row_valid[:b] = 1.0
-        if b == target:
-            return {**batch, "row_valid": row_valid}
-        pad = target - b
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):

@@ -173,3 +173,37 @@ def test_per_sample_line_counts_batch_of_one_matches_batched(setup):
         np.asarray(batched_p["line_vulnerability_logits"][0]),
         np.asarray(single_p["line_vulnerability_logits"][0]),
         rtol=1e-4, atol=1e-5), "parity mode should exhibit batch coupling"
+
+
+def test_fused_lm_ce_matches_unfused_in_train_loss(setup):
+    """TrainConfig.fused_lm_ce path: identical loss value (bit-identical CE
+    forward) and matching gradients vs the materialized-logits path, with
+    and without the row mask."""
+    model, params, full, tables = setup
+
+    def lg(batch, fused):
+        def f(p):
+            total, (metrics, *_rest) = compute_losses(
+                model, p, batch, DynamicScalars.init(), jax.random.PRNGKey(0),
+                use_gan=True, use_augmentation=False, tables=tables,
+                deterministic=True, fused_lm_ce=fused)
+            return total, metrics
+        (total, metrics), grads = jax.value_and_grad(f, has_aux=True)(params)
+        return total, metrics, grads
+
+    padded = {k: np.asarray(v) for k, v in full.items()}
+    masked = dict(padded,
+                  row_valid=np.array([1, 1, 1, 0], dtype=np.float32))
+
+    for batch in (padded, masked):
+        t0, m0, g0 = lg(batch, fused=False)
+        t1, m1, g1 = lg(batch, fused=True)
+        np.testing.assert_allclose(np.asarray(t0), np.asarray(t1),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(m0["ce_loss"]),
+                                   np.asarray(m1["ce_loss"]),
+                                   rtol=1e-6, atol=1e-7)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-5)
