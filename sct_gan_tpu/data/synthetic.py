@@ -198,6 +198,148 @@ def _ue_v1(nm: _Names) -> Tuple[List[str], List[int]]:
              "    }"], [1])
 
 
+# -- family-1 variants: surface forms DISJOINT from the family-0 builders
+# above. Corpus v2 trains on one family and evaluates on the other, so the
+# line benchmark measures generalization to unseen templates instead of
+# memorization (VERDICT r3: at 2,000 contracts the single-family corpus
+# became fully separable and line PR-AUC pinned at 1.0).
+
+def _arthm_f1a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(address to, uint256 {a}) public {{",
+             f"        balances[to] += {a};",
+             f"        balances[msg.sender] -= {a};",
+             "    }"], [1, 2])
+
+
+def _arthm_f1b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}(uint256 factor) public {{",
+             "        rate = rate * factor / 100;",
+             "        total = total * rate;",
+             "    }"], [1, 2])
+
+
+def _dos_f1a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        for (uint j = 0; j < holders.length; j++) {",
+             "            require(holders[j].send(dividend));",
+             "        }",
+             "    }"], [1, 2])
+
+
+def _dos_f1b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}(address payable[] memory winners) public {{",
+             "        uint j = winners.length;",
+             "        while (j > 0) {",
+             "            j--;",
+             "            winners[j].call{value: dividend}(\"\");",
+             "        }",
+             "    }"], [2, 4])
+
+
+def _le_f1a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() external payable {{",
+             "        total += msg.value;",
+             "    }",
+             "    // no withdrawal path for accumulated ether"], [1])
+
+
+def _le_f1b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    receive() external payable {{",
+             f"        locked[msg.sender] = locked[msg.sender] + msg.value;",
+             "    }"], [1])
+
+
+def _rent_f1a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(uint256 {a}) public {{",
+             f"        _pay(payable(msg.sender), {a});",
+             f"        balances[msg.sender] = 0;",
+             "    }",
+             f"    function _pay(address payable to, uint256 {a}) internal {{",
+             f"        to.call{{value: {a}}}(\"\");",
+             "    }"], [1, 2, 5])
+
+
+def _rent_f1b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        uint256 owed = balances[msg.sender];",
+             "        (bool sent, ) = msg.sender.call{value: owed}(\"\");",
+             "        if (sent) { balances[msg.sender] = 0; }",
+             "    }"], [2, 3])
+
+
+def _timem_f1a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        uint256 lucky = uint256(keccak256(abi.encodePacked("
+             "block.timestamp, msg.sender))) % 10;",
+             "        if (lucky == 7) { balances[msg.sender] += dividend; }",
+             "    }"], [1])
+
+
+def _timem_f1b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public view returns (uint256) {{",
+             "        return uint256(blockhash(block.number)) % holders.length;",
+             "    }"], [1])
+
+
+def _timeo_f1a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        if (block.number > deadline) {",
+             "            paused = true;",
+             "        }",
+             "    }"], [1])
+
+
+def _timeo_f1b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        require(now >= deadline);",
+             "        state = state + 1;",
+             "    }"], [1])
+
+
+def _txorigin_f1a(nm: _Names) -> Tuple[List[str], List[int]]:
+    return (["    modifier onlyEOAOwner() {",
+             "        require(tx.origin == owner);",
+             "        _;",
+             "    }"], [1])
+
+
+def _txorigin_f1b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(uint256 {a}) public {{",
+             f"        payable(tx.origin).transfer({a});",
+             "    }"], [1])
+
+
+def _ue_f1a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(address token, address to, uint256 {a}) "
+             "public {",
+             "        token.call(abi.encodeWithSignature("
+             f"\"transfer(address,uint256)\", to, {a}));",
+             "    }"], [1])
+
+
+def _ue_f1b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}(address impl, bytes memory data) public {{",
+             "        impl.delegatecall(data);",
+             "    }"], [1])
+
+
+# builder -> template family (0 or 1); corpus v2 keeps the families disjoint
+# between train and eval splits
 _VULN_BUILDERS: Dict[str, Sequence] = {
     "ARTHM": (_arthm_v0, _arthm_v1, _arthm_v2),
     "DOS": (_dos_v0, _dos_v1),
@@ -208,6 +350,19 @@ _VULN_BUILDERS: Dict[str, Sequence] = {
     "Tx-Origin": (_txorigin_v0, _txorigin_v1),
     "UE": (_ue_v0, _ue_v1),
 }
+
+_VULN_BUILDERS_F1: Dict[str, Sequence] = {
+    "ARTHM": (_arthm_f1a, _arthm_f1b),
+    "DOS": (_dos_f1a, _dos_f1b),
+    "LE": (_le_f1a, _le_f1b),
+    "RENT": (_rent_f1a, _rent_f1b),
+    "TimeM": (_timem_f1a, _timem_f1b),
+    "TimeO": (_timeo_f1a, _timeo_f1b),
+    "Tx-Origin": (_txorigin_f1a, _txorigin_f1b),
+    "UE": (_ue_f1a, _ue_f1b),
+}
+
+_FAMILIES = {0: _VULN_BUILDERS, 1: _VULN_BUILDERS_F1}
 
 
 # Safe snippets, including near-miss twins of every vulnerable pattern.
@@ -293,6 +448,79 @@ _SAFE_BUILDERS = [_safe_view, _safe_auth, _safe_withdraw, _safe_transfer,
                   _safe_event, _safe_pure]
 
 
+# -- near-miss DISTRACTORS (corpus v2): vulnerable-looking token sequences
+# placed where they are inert — comments, string literals, dead code — plus
+# cross-type confusers. All label 0: a model keying on surface tokens alone
+# scores false positives on every one of these.
+
+def _distractor_comment(nm: _Names) -> List[str]:
+    return ["    // audit note: tx.origin == owner checks are phishable;",
+            "    // msg.sender.call{value: amount}(\"\") before the state",
+            "    // write would reenter — keep checks-effects-interactions."]
+
+
+def _distractor_commented_code(nm: _Names) -> List[str]:
+    a = nm.amt()
+    return ["    /*",
+            f"    total = total + {a} * rate;",
+            f"    msg.sender.call{{value: {a}}}(\"\");",
+            f"    balances[msg.sender] -= {a};",
+            "    */"]
+
+
+def _distractor_string(nm: _Names) -> List[str]:
+    f = nm.fn()
+    return [f"    function {f}() public pure returns (string memory) {{",
+            "        return \"never use block.timestamp % 2 for randomness\";",
+            "    }"]
+
+
+def _distractor_dead_code(nm: _Names) -> List[str]:
+    f, a = nm.fn(), nm.amt()
+    return [f"    function {f}(uint256 {a}) public {{",
+            "        if (false) {",
+            f"            owner.call{{value: {a}}}(\"\");",
+            f"            total -= {a} * 2;",
+            "        }",
+            "        state = 4;",
+            "    }"]
+
+
+def _distractor_safe_timestamp(nm: _Names) -> List[str]:
+    # cross-type confuser: block.timestamp recorded for bookkeeping only
+    f = nm.fn()
+    return [f"    function {f}() public {{",
+            "        locked[msg.sender] = block.timestamp;",
+            "        emit Deposit(msg.sender, 0);",
+            "    }"]
+
+
+def _distractor_safe_loop_call(nm: _Names) -> List[str]:
+    # bounded loop over a CALLDATA array with checked sends: shares the
+    # for/transfer surface of DOS without the unbounded-storage-array hazard
+    f = nm.fn()
+    return [f"    function {f}(address payable[] calldata to) public {{",
+            "        require(msg.sender == owner && to.length <= 10);",
+            "        for (uint i = 0; i < to.length; i++) {",
+            "            to[i].transfer(1);",
+            "        }",
+            "    }"]
+
+
+def _distractor_origin_log(nm: _Names) -> List[str]:
+    # tx.origin READ for logging — not used for authorization
+    f = nm.fn()
+    return [f"    function {f}() public view returns (bool) {{",
+            "        return tx.origin == msg.sender;",
+            "    }"]
+
+
+_DISTRACTOR_BUILDERS = [_distractor_comment, _distractor_commented_code,
+                        _distractor_string, _distractor_dead_code,
+                        _distractor_safe_timestamp,
+                        _distractor_safe_loop_call, _distractor_origin_log]
+
+
 def _estimate_tokens(lines: List[str]) -> int:
     """Token count under the hermetic tokenizer's pretokenization (the same
     regex SolidityTokenizer/NativeSolidityTokenizer split on) — lets the
@@ -304,7 +532,9 @@ def _estimate_tokens(lines: List[str]) -> int:
 def generate_contract(rng: random.Random,
                       vuln_types: Optional[List[str]] = None,
                       name: Optional[str] = None,
-                      target_tokens: Optional[int] = None) -> Dict:
+                      target_tokens: Optional[int] = None,
+                      family: Optional[int] = None,
+                      distractors: bool = False) -> Dict:
     """Generate one contract record with exact per-type vulnerable lines.
 
     ``target_tokens`` pads the contract with additional safe blocks (and
@@ -315,12 +545,23 @@ def generate_contract(rng: random.Random,
     contract head's unmasked mean-pool (SCT-GAN/model.py:462-466, a kept
     parity quirk) only works in that regime. Short contracts drown the
     pooled feature in padding embeddings; matching the reference's length
-    distribution is a data property, not a model change."""
+    distribution is a data property, not a model change.
+
+    ``family`` (corpus v2) restricts vulnerable templates to one disjoint
+    family (0 or 1; None = all): train on one, evaluate on the other, so the
+    benchmark measures template generalization. ``distractors`` mixes in
+    vulnerable-LOOKING safe blocks (comments, strings, dead code,
+    cross-type confusers) alongside the plain safe blocks."""
     if vuln_types is None:
         k = rng.randint(0, 3)
         vuln_types = rng.sample(VULNERABILITY_TYPES, k)
     name = name or f"Contract{rng.randint(0, 10**6)}"
     nm = _Names(rng)
+    builders = (_FAMILIES[family] if family is not None else
+                {vt: tuple(_VULN_BUILDERS[vt]) + tuple(_VULN_BUILDERS_F1[vt])
+                 for vt in VULNERABILITY_TYPES})
+    safe_pool = (_SAFE_BUILDERS + _DISTRACTOR_BUILDERS if distractors
+                 else _SAFE_BUILDERS)
 
     lines: List[str] = [
         f"pragma solidity ^0.{rng.randint(4, 8)}.{rng.randint(0, 20)};",
@@ -348,18 +589,18 @@ def generate_contract(rng: random.Random,
     for vt in vuln_types:
         blocks.append(("vuln", vt))
     for _ in range(rng.randint(1, 3)):
-        blocks.append(("safe", rng.randrange(len(_SAFE_BUILDERS))))
+        blocks.append(("safe", rng.randrange(len(safe_pool))))
     rng.shuffle(blocks)
 
     def _emit(kind, which) -> None:
         if kind == "vuln":
-            builder = rng.choice(_VULN_BUILDERS[which])
+            builder = rng.choice(builders[which])
             snippet, rel = builder(nm)
             base = len(lines)
             lines.extend(snippet)
             vuln_lines[which].extend(base + r for r in rel)
         else:
-            lines.extend(_SAFE_BUILDERS[which](nm))
+            lines.extend(safe_pool[which](nm))
         lines.append("")
 
     for kind, which in blocks:
@@ -372,7 +613,7 @@ def generate_contract(rng: random.Random,
             if vuln_types and rng.random() < 1.0 / 6.0:
                 _emit("vuln", rng.choice(vuln_types))
             else:
-                _emit("safe", rng.randrange(len(_SAFE_BUILDERS)))
+                _emit("safe", rng.randrange(len(safe_pool)))
     lines.append("}")
 
     record: Dict = {
@@ -385,21 +626,30 @@ def generate_contract(rng: random.Random,
 
 
 def generate_corpus(n: int = 50, seed: int = 0,
-                    target_tokens: Optional[Tuple[int, int]] = None
-                    ) -> List[Dict]:
+                    target_tokens: Optional[Tuple[int, int]] = None,
+                    family: Optional[int] = None,
+                    distractors: bool = False) -> List[Dict]:
     """``target_tokens=(lo, hi)`` draws a per-contract length target
     uniformly from [lo, hi] — e.g. (950, 1250) reproduces the reference's
-    fills-the-window length regime at max_length=1024."""
+    fills-the-window length regime at max_length=1024.
+
+    Corpus v2 recipe: ``generate_corpus(..., family=0, distractors=True)``
+    for training, ``family=1, distractors=True`` (different seed) for the
+    held-out-template eval split."""
     rng = random.Random(seed)
     return [generate_contract(
         rng, name=f"Synth{i}",
         target_tokens=(rng.randint(*target_tokens)
-                       if target_tokens is not None else None))
+                       if target_tokens is not None else None),
+        family=family, distractors=distractors)
         for i in range(n)]
 
 
 def write_corpus_csv(path: str, n: int = 50, seed: int = 0,
-                     target_tokens: Optional[Tuple[int, int]] = None) -> None:
+                     target_tokens: Optional[Tuple[int, int]] = None,
+                     family: Optional[int] = None,
+                     distractors: bool = False) -> None:
     import pandas as pd
-    pd.DataFrame(generate_corpus(n, seed, target_tokens=target_tokens)
+    pd.DataFrame(generate_corpus(n, seed, target_tokens=target_tokens,
+                                 family=family, distractors=distractors)
                  ).to_csv(path, index=False)

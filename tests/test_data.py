@@ -197,3 +197,65 @@ def test_synthetic_corpus_schema():
         for vt in ["ARTHM", "DOS", "LE", "RENT", "TimeM", "TimeO",
                    "Tx-Origin", "UE"]:
             assert f"{vt}_lines" in rec
+
+
+def test_corpus_v2_families_and_distractors():
+    """Corpus v2 (VERDICT r3 item 3): family-restricted generation draws
+    templates only from that family, labeled lines actually contain the
+    vulnerable code, and distractor blocks never carry labels."""
+    import ast as pyast
+    from sct_gan_tpu.data.synthetic import (VULNERABILITY_TYPES,
+                                            generate_corpus)
+
+    fam0 = generate_corpus(n=40, seed=1, family=0, distractors=True)
+    fam1 = generate_corpus(n=40, seed=2, family=1, distractors=True)
+
+    # labels point at real lines inside the source
+    for recs in (fam0, fam1):
+        for r in recs:
+            lines = r["source_code"].split("\n")
+            for vt in VULNERABILITY_TYPES:
+                for ln in pyast.literal_eval(r[f"{vt}_lines"]):
+                    assert 0 <= ln < len(lines), (r["contract_name"], vt, ln)
+                    assert lines[ln].strip(), "label on empty line"
+
+    # family-1 templates introduce surface forms family 0 never emits
+    def labeled_lines(recs, vt):
+        out = set()
+        for r in recs:
+            lines = r["source_code"].split("\n")
+            for ln in pyast.literal_eval(r[f"{vt}_lines"]):
+                out.add(lines[ln].strip())
+        return out
+
+    # f1's tx.origin-transfer form never appears in f0's labeled lines
+    assert "payable(tx.origin).transfer" not in \
+        " ".join(labeled_lines(fam0, "Tx-Origin"))
+
+    # deterministic disjointness check: force the same types in one
+    # contract per family; the labeled UE lines must use disjoint surface
+    # forms (family 0: .send / ignored .call; family 1: delegatecall /
+    # encodeWithSignature)
+    import random
+    from sct_gan_tpu.data.synthetic import generate_contract
+    r0 = generate_contract(random.Random(3), vuln_types=["Tx-Origin", "UE"],
+                           family=0)
+    r1 = generate_contract(random.Random(3), vuln_types=["Tx-Origin", "UE"],
+                           family=1)
+    def labeled(rec, vt):
+        lines = rec["source_code"].split("\n")
+        return [lines[i] for i in pyast.literal_eval(rec[f"{vt}_lines"])]
+    l0 = " ".join(labeled(r0, "UE"))
+    l1 = " ".join(labeled(r1, "UE"))
+    assert l0 != l1
+    assert ("delegatecall" in l1 or "encodeWithSignature" in l1)
+    assert "delegatecall" not in l0 and "encodeWithSignature" not in l0
+
+    # distractor text appears somewhere (comments/strings/dead code) yet
+    # contributes zero labels: every contract with 0 sampled vuln types has
+    # all-empty label cells even when its body contains call/tx.origin text
+    rng = random.Random(9)
+    clean = generate_contract(rng, vuln_types=[], distractors=True,
+                              target_tokens=600)
+    assert all(pyast.literal_eval(clean[f"{vt}_lines"]) == []
+               for vt in VULNERABILITY_TYPES)

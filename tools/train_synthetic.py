@@ -31,6 +31,14 @@ def main() -> None:
     ap.add_argument("--seq", type=int, default=1024)
     ap.add_argument("--no-aug", action="store_true")
     ap.add_argument("--max-eval", type=int, default=None)
+    ap.add_argument("--corpus-v2", action="store_true",
+                    help="de-saturated benchmark: train on template family 0 "
+                         "(+ near-miss distractors), validate/evaluate on the "
+                         "DISJOINT family 1 — measures template "
+                         "generalization (VERDICT r3 item 3)")
+    ap.add_argument("--eval-contracts", type=int, default=None,
+                    help="held-out family-1 corpus size (corpus-v2 only; "
+                         "default contracts//5)")
     args = ap.parse_args()
 
     from sct_gan_tpu.utils.profiling import enable_compilation_cache
@@ -46,16 +54,35 @@ def main() -> None:
     from sct_gan_tpu.train import SmartContractTrainer
 
     os.makedirs(args.out, exist_ok=True)
-    csv_path = os.path.join(args.out, "corpus.csv")
-    write_corpus_csv(csv_path, n=args.contracts, seed=0)
-    print(f"corpus: {args.contracts} contracts -> {csv_path}", flush=True)
-
     cfg = ModelConfig(use_gan=True, max_length=args.seq, max_lines=args.seq)
     tok = NativeSolidityTokenizer(vocab_size=cfg.vocab_size)
     print(f"native tokenizer: {tok.native_active}", flush=True)
-    train_loader, val_loader = create_dataloaders(
-        csv_path, tokenizer=tok, batch_size=args.batch_size,
-        max_length=args.seq)
+
+    if args.corpus_v2:
+        from sct_gan_tpu.data.dataset import (
+            ArrayDataLoader, SmartContractVulnerabilityDataset)
+        from sct_gan_tpu.data.synthetic import generate_corpus
+        n_eval = args.eval_contracts or max(args.contracts // 5, 20)
+        train_recs = generate_corpus(args.contracts, seed=0, family=0,
+                                     distractors=True)
+        eval_recs = generate_corpus(n_eval, seed=10**6, family=1,
+                                    distractors=True)
+        train_ds = SmartContractVulnerabilityDataset(
+            records=train_recs, tokenizer=tok, max_length=args.seq)
+        eval_ds = SmartContractVulnerabilityDataset(
+            records=eval_recs, tokenizer=tok, max_length=args.seq)
+        train_loader = ArrayDataLoader(train_ds, batch_size=args.batch_size,
+                                       shuffle=True, seed=0)
+        val_loader = ArrayDataLoader(eval_ds, batch_size=args.batch_size)
+        print(f"corpus v2: {args.contracts} train (family 0 + distractors), "
+              f"{n_eval} eval (held-out family 1)", flush=True)
+    else:
+        csv_path = os.path.join(args.out, "corpus.csv")
+        write_corpus_csv(csv_path, n=args.contracts, seed=0)
+        print(f"corpus: {args.contracts} contracts -> {csv_path}", flush=True)
+        train_loader, val_loader = create_dataloaders(
+            csv_path, tokenizer=tok, batch_size=args.batch_size,
+            max_length=args.seq)
     model = SmartContractTransformer(cfg)
     mesh = make_mesh(dp=1, mp=1, devices=jax.devices()[:1])
     trainer = SmartContractTrainer(
