@@ -192,6 +192,13 @@ class SolidityTokenizer:
             attn.append(mask)
         out = {"input_ids": np.asarray(input_ids, dtype=np.int32),
                "attention_mask": np.asarray(attn, dtype=np.int32)}
+        if return_tensors == "pt":
+            # HF-API compat: callers written against the reference pipeline
+            # (e.g. its dataset/collate, SCT-GAN/dataset.py:176-253) expect
+            # torch tensors with .size()/.squeeze()
+            import torch
+            out = {k: torch.from_numpy(v.astype(np.int64)) for k, v in
+                   out.items()}
         return out
 
     # -- persistence -----------------------------------------------------------
