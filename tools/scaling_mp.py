@@ -92,11 +92,16 @@ def main() -> None:
         "contract_vulnerabilities": rng.integers(0, 2, (b, 8)).astype(np.int32),
     }
 
-    # -- 1. GSPMD inspection: LM logits must shard over mp on the vocab axis
+    # -- 1. GSPMD inspection. Two facts are checked:
+    # (a) the LM logits CAN come out mp-sharded on the vocab axis (explicit
+    #     out_shardings compiles and produces half-width shards), and
+    # (b) the actual TRAIN STEP's compiled (partitioned) HLO contains no
+    #     full-width (B, S, 50265) rank-3 tensor — i.e. the CE path keeps
+    #     the vocab axis sharded instead of all-gathering the logits.
     db = shard_batch(batch, mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    @jax.jit
-    def fwd_logits(params, batch):
+    def _fwd(params, batch):
         outs = model.apply(
             {"params": params}, input_ids=batch["input_ids"],
             attention_mask=batch["attention_mask"],
@@ -106,24 +111,35 @@ def main() -> None:
             token_to_line=batch["token_to_line"], deterministic=True)
         return outs["logits"]
 
+    fwd_logits = jax.jit(
+        _fwd, out_shardings=NamedSharding(mesh, P("dp", None, "mp")))
     logits = fwd_logits(trainer.state.params, db)
     shard_shapes = {tuple(sh.data.shape) for sh in logits.addressable_shards}
-    spec = str(getattr(logits.sharding, "spec", logits.sharding))
     vocab_shard = min(shape[-1] for shape in shard_shapes)
     out["logits_shape"] = list(logits.shape)
-    out["logits_sharding_spec"] = spec
     out["logits_vocab_shard_width"] = int(vocab_shard)
-    out["logits_mp_sharded"] = bool(vocab_shard == cfg.vocab_size // 2
-                                    or vocab_shard == (cfg.vocab_size + 1) // 2
-                                    or vocab_shard < cfg.vocab_size)
-    print(f"logits {logits.shape} sharding={spec} "
-          f"vocab shard width={vocab_shard}", file=sys.stderr)
+    out["logits_mp_sharded"] = bool(vocab_shard < cfg.vocab_size)
+    print(f"logits {logits.shape} mp-sharded shard width={vocab_shard}",
+          file=sys.stderr)
+
+    # (b): scan the partitioned train-step HLO for full-width vocab tensors
+    scalars0 = trainer._scalars(1.0)
+    lrs0 = trainer._group_lrs()
+    hlo = trainer.train_step.lower(
+        trainer.state, db, scalars0, lrs0,
+        jax.random.PRNGKey(0)).compile().as_text()
+    import re as _re
+    full_width = sorted(set(_re.findall(
+        r"\w+\[\d+,\d+,%d\]" % cfg.vocab_size, hlo)))
+    out["train_step_full_vocab_tensors"] = full_width
+    out["ce_path_mp_sharded"] = not full_width
+    print(f"train-step HLO full-width (B,S,{cfg.vocab_size}) tensors: "
+          f"{full_width or 'none'}", file=sys.stderr)
 
     # -- 2. one full fused train step at full size under dp=4 x mp=2
-    scalars = trainer._scalars(1.0)
-    lrs = trainer._group_lrs()
+    # (compile already cached by the HLO inspection above)
     t0 = time.perf_counter()
-    state, metrics, _ = trainer.train_step(trainer.state, db, scalars, lrs,
+    state, metrics, _ = trainer.train_step(trainer.state, db, scalars0, lrs0,
                                            jax.random.PRNGKey(0))
     loss = float(np.asarray(metrics["total_loss"]))
     out["train_step_loss"] = loss
@@ -159,8 +175,8 @@ def main() -> None:
     out["decode_parity_ok"] = bool(err < 1e-3)
     print(f"decode parity: max|Δlogit| = {err:.2e}", file=sys.stderr)
 
-    ok = (out["logits_mp_sharded"] and out["train_step_finite"]
-          and out["decode_parity_ok"])
+    ok = (out["logits_mp_sharded"] and out["ce_path_mp_sharded"]
+          and out["train_step_finite"] and out["decode_parity_ok"])
     out["ok"] = bool(ok)
     print(json.dumps(out))
     if args.json:

@@ -58,24 +58,33 @@ def main() -> None:
     tok = NativeSolidityTokenizer(vocab_size=cfg.vocab_size)
     print(f"native tokenizer: {tok.native_active}", flush=True)
 
+    test_loader = None
     if args.corpus_v2:
         from sct_gan_tpu.data.dataset import (
             ArrayDataLoader, SmartContractVulnerabilityDataset)
         from sct_gan_tpu.data.synthetic import generate_corpus
         n_eval = args.eval_contracts or max(args.contracts // 5, 20)
+        n_val = max(args.contracts // 10, 16)
+        # model selection (early stop / best checkpoint) uses an
+        # IN-distribution family-0 val split; the held-out family-1 corpus
+        # is a pure TEST set never touched during training
         train_recs = generate_corpus(args.contracts, seed=0, family=0,
                                      distractors=True)
-        eval_recs = generate_corpus(n_eval, seed=10**6, family=1,
+        val_recs = generate_corpus(n_val, seed=777, family=0,
+                                   distractors=True)
+        test_recs = generate_corpus(n_eval, seed=10**6, family=1,
                                     distractors=True)
-        train_ds = SmartContractVulnerabilityDataset(
-            records=train_recs, tokenizer=tok, max_length=args.seq)
-        eval_ds = SmartContractVulnerabilityDataset(
-            records=eval_recs, tokenizer=tok, max_length=args.seq)
-        train_loader = ArrayDataLoader(train_ds, batch_size=args.batch_size,
+        mk = lambda recs: SmartContractVulnerabilityDataset(
+            records=recs, tokenizer=tok, max_length=args.seq)
+        train_loader = ArrayDataLoader(mk(train_recs),
+                                       batch_size=args.batch_size,
                                        shuffle=True, seed=0)
-        val_loader = ArrayDataLoader(eval_ds, batch_size=args.batch_size)
-        print(f"corpus v2: {args.contracts} train (family 0 + distractors), "
-              f"{n_eval} eval (held-out family 1)", flush=True)
+        val_loader = ArrayDataLoader(mk(val_recs),
+                                     batch_size=args.batch_size)
+        test_loader = ArrayDataLoader(mk(test_recs),
+                                      batch_size=args.batch_size)
+        print(f"corpus v2: {args.contracts} train + {n_val} val (family 0 + "
+              f"distractors), {n_eval} TEST (held-out family 1)", flush=True)
     else:
         csv_path = os.path.join(args.out, "corpus.csv")
         write_corpus_csv(csv_path, n=args.contracts, seed=0)
@@ -120,7 +129,7 @@ def main() -> None:
                                      tokenizer=tok, model_config=cfg,
                                      verbose=False)
     results = evaluate_model_performance(
-        model_path=ckpt, val_dataloader=val_loader,
+        model_path=ckpt, val_dataloader=test_loader or val_loader,
         contract_thresholds=BASELINE_CONTRACT_THRESHOLDS,
         line_thresholds=BASELINE_LINE_THRESHOLDS,
         max_contracts=args.max_eval,
