@@ -122,7 +122,10 @@ def load_hf_tasc_records(name: str = "jainabh/smart_contracts_malicious",
     for i, row in enumerate(ds):
         if max_records is not None and i >= max_records:
             break
-        code = row.get("source_code") or row.get("code") or row.get("text")
+        # the reference notebook reads ds['train'][...]['contract_source']
+        # (Binary-TASC-model/main.ipynb cell 6) — try that column first
+        code = (row.get("contract_source") or row.get("source_code")
+                or row.get("code") or row.get("text"))
         label = row.get("malicious", row.get("label", 0))
         if code:
             out.append({"source_code": code, "malicious": int(label)})

@@ -197,3 +197,38 @@ def test_generate_vulnerable_code(gan_and_params, tok):
     assert out["tokens"].shape == (2, 12)
     assert isinstance(out["code"], str)
     assert out["vulnerability_scores"].shape == (2, 4)
+
+
+def test_tasc_records_from_hf_maps_notebook_columns(monkeypatch):
+    """Hermetic check of the HF ingestion path (Binary-TASC-model/main.ipynb
+    cells 3+6): the dataset's `contract_source`/`malicious` columns map into
+    TASC records without network access."""
+    import sct_gan_tpu.data.tasc_dataset as td
+
+    fake_rows = [
+        {"contract_source": "pragma solidity ^0.8.0;\ncontract A {}",
+         "malicious": 0},
+        {"contract_source": "pragma solidity ^0.8.0;\ncontract B { "
+         "function f() public { tx.origin; } }", "malicious": 1},
+        {"contract_source": "", "malicious": 1},     # dropped: empty source
+    ]
+
+    class _FakeDatasets:
+        @staticmethod
+        def load_dataset(name, split="train"):
+            assert name == "jainabh/smart_contracts_malicious"
+            assert split == "train"
+            return fake_rows
+
+    import sys as _sys
+    monkeypatch.setitem(_sys.modules, "datasets", _FakeDatasets)
+    recs = td.load_hf_tasc_records()
+    assert [r["malicious"] for r in recs] == [0, 1]
+    assert recs[1]["source_code"].startswith("pragma")
+
+    # and the records feed the dataset builder
+    from sct_gan_tpu.data.tokenizer import SolidityTokenizer
+    ds = td.TASCDataset(recs, SolidityTokenizer(vocab_size=512),
+                        max_length=64)
+    assert len(ds) == 2
+    assert ds[1]["label"] == 1.0
