@@ -39,6 +39,24 @@ class ModelConfig:
                                       # q/k/v/out projection weights (exact;
                                       # kills per-call activation pad copies)
     remat: bool = False               # jax.checkpoint encoder/decoder blocks
+    # Pad the vocab-sized parameters (embedding tables, LM head) up to a
+    # multiple of this. 50265 → 50304: (a) the MXU lane dimension of the
+    # LM-head matmul is 128-aligned instead of XLA-padding it per call, and
+    # (b) the vocab axis becomes divisible by every practical mp size, so
+    # the Megatron-style vocab-parallel rules in parallel/mesh.py actually
+    # apply (50265 is odd — unpadded, the LM head and both embedding tables
+    # silently FELL BACK to replication on any mp mesh). Exposed logits are
+    # always sliced back to vocab_size inside the model; the fused LM-CE op
+    # masks the pad columns out of its logsumexp (ops/fused_ce.py), so all
+    # outputs are bit-equivalent to an unpadded model with the same weights.
+    # 1 = no padding.
+    vocab_pad_multiple: int = 128
+
+    @property
+    def padded_vocab_size(self) -> int:
+        m = max(int(self.vocab_pad_multiple), 1)
+        return (self.vocab_size + m - 1) // m * m
+
     # Documented non-parity knob. The reference computes the line-slot
     # count as token_to_line.max()+1 over the WHOLE batch (model.py:484):
     # a long contract unmasks line slots of every short contract in the

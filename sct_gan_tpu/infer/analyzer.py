@@ -73,9 +73,15 @@ class SmartContractAnalyzer:
         if params is not None:
             self.params = params
         elif model_path is not None:
+            from ..train.checkpoint import adapt_vocab_params
             tree, meta = load_checkpoint(model_path)
             # wrapped-dict or raw-params checkpoint (inference.py:47-58)
             self.params = tree["params"] if "params" in tree else tree
+            # checkpoints saved under a different vocab_pad_multiple (e.g.
+            # pre-padding 50265-wide heads) adapt to this model's padded
+            # shapes — pad rows are never read, so this is exact
+            self.params = adapt_vocab_params(self.params,
+                                             cfg.padded_vocab_size)
             self._log(f"Model loaded from {model_path}")
             if meta:
                 self._log(f"Training epoch: {meta.get('epoch', 'Unknown')}")

@@ -80,12 +80,17 @@ class SmartContractTransformer(nn.Module):
                  else jnp.float32)
         self._dtype = dtype
 
-        self.embedding = nn.Embed(cfg.vocab_size, d,
+        # vocab-sized params are padded to cfg.padded_vocab_size (128-lane
+        # alignment + mp divisibility, see ModelConfig.vocab_pad_multiple);
+        # token ids are always < vocab_size so the pad rows are never read
+        # and receive zero gradient, and every exposed logits tensor is
+        # sliced back to vocab_size below.
+        self.embedding = nn.Embed(cfg.padded_vocab_size, d,
                                   embedding_init=normal_init(0.02),
                                   name="embedding")
         self.embedding_norm = nn.LayerNorm(epsilon=1e-5, dtype=dtype,
                                    name="embedding_norm")
-        self.ast_embedding = nn.Embed(cfg.vocab_size, d,
+        self.ast_embedding = nn.Embed(cfg.padded_vocab_size, d,
                                       embedding_init=normal_init(0.02),
                                       name="ast_embedding")
         self.ast_embedding_norm = nn.LayerNorm(epsilon=1e-5, dtype=dtype,
@@ -157,7 +162,7 @@ class SmartContractTransformer(nn.Module):
         self.output_norm = nn.LayerNorm(epsilon=1e-5, dtype=dtype,
                                 name="output_norm")
         self.output_dropout = FastDropout(cfg.dropout)
-        self.output_layer = nn.Dense(cfg.vocab_size,
+        self.output_layer = nn.Dense(cfg.padded_vocab_size,
                                      kernel_init=normal_init(0.02),
                                      bias_init=zeros_init, dtype=dtype,
                                      name="output_layer")
@@ -366,8 +371,8 @@ class SmartContractTransformer(nn.Module):
         x, caches = self.decoder.step(x, caches, cross_kvs, pos,
                                       memory_key_padding_mask=src_mask)
         x = self.output_norm(x)
-        logits = self.output_layer(x)[:, 0, :].astype(jnp.float32)
-        return logits, caches
+        logits = self.output_layer(x)[:, 0, :self.config.vocab_size]
+        return logits.astype(jnp.float32), caches
 
     def encode_concat(self, input_ids, attention_mask, ast_input_ids,
                       ast_attention_mask):
@@ -410,7 +415,7 @@ class SmartContractTransformer(nn.Module):
         out = self.decode_hidden(target_ids, memory, src_mask, deterministic)
         # stay in compute dtype: the (B, S, 50k) logits are 1.6 GB in f32 —
         # consumers (CE, sampling) upcast per-tile inside fused kernels
-        return self.output_layer(out)
+        return self.output_layer(out)[..., :self.config.vocab_size]
 
     # -- full training/eval forward ---------------------------------------------
     def __call__(self, input_ids, attention_mask=None, ast_input_ids=None,

@@ -34,6 +34,8 @@ the psum for dhidden automatically.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +46,16 @@ def _logits(hidden: jnp.ndarray, kernel: jnp.ndarray,
     params cast down to bf16 before the matmul/add)."""
     dt = hidden.dtype
     return hidden @ kernel.astype(dt) + bias.astype(dt)
+
+
+def _mask_pad(logits, valid_vocab):
+    """-inf the vocab-pad columns (ModelConfig.padded_vocab_size > vocab_size)
+    so they contribute exp(-inf)=0 to the softmax — the padded model's CE is
+    bit-equivalent to the unpadded one."""
+    if valid_vocab is None or valid_vocab >= logits.shape[-1]:
+        return logits
+    keep = jnp.arange(logits.shape[-1]) < valid_vocab
+    return jnp.where(keep, logits, jnp.asarray(-jnp.inf, logits.dtype))
 
 
 def _ce_value(logits, targets, row_weights):
@@ -58,10 +70,11 @@ def _ce_value(logits, targets, row_weights):
     return (nll * w[:, None]).sum() / n_eff, lse, n_eff
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def fused_linear_cross_entropy(hidden: jnp.ndarray, kernel: jnp.ndarray,
                                bias: jnp.ndarray, targets: jnp.ndarray,
-                               row_weights=None) -> jnp.ndarray:
+                               row_weights=None,
+                               valid_vocab=None) -> jnp.ndarray:
     """Mean token CE of ``softmax(hidden @ kernel + bias)`` vs ``targets``.
 
     hidden: (B, S, D) compute-dtype activations (post output_norm/dropout,
@@ -72,26 +85,31 @@ def fused_linear_cross_entropy(hidden: jnp.ndarray, kernel: jnp.ndarray,
     row_weights: optional (B,) 0/1 weights — static-padding rows
             (trainer._pad_to_dp) carry 0 so the mean matches an unpadded
             batch (losses/syntax.py::cross_entropy_loss semantics)
+    valid_vocab: static int or None — the TRUE vocab size when the kernel's
+            vocab axis is padded (ModelConfig.padded_vocab_size); pad
+            columns are masked out of the softmax so value/grads equal the
+            unpadded computation (pad-column grads are exactly zero)
 
     Returns the scalar mean over ALL (weighted) positions — the reference
     does not ignore padding (SCT-GAN/train.py:324).
     """
-    ce, _, _ = _ce_value(_logits(hidden, kernel, bias), targets, row_weights)
+    ce, _, _ = _ce_value(_mask_pad(_logits(hidden, kernel, bias),
+                                   valid_vocab), targets, row_weights)
     return ce
 
 
-def _fwd(hidden, kernel, bias, targets, row_weights):
-    ce, lse, _ = _ce_value(_logits(hidden, kernel, bias), targets,
-                           row_weights)
+def _fwd(hidden, kernel, bias, targets, row_weights, valid_vocab):
+    ce, lse, _ = _ce_value(_mask_pad(_logits(hidden, kernel, bias),
+                                     valid_vocab), targets, row_weights)
     return ce, (hidden, kernel, bias, targets, lse, row_weights)
 
 
-def _bwd(res, g):
+def _bwd(valid_vocab, res, g):
     hidden, kernel, bias, targets, lse, row_weights = res
     dt = hidden.dtype
     v = kernel.shape[-1]
     # recompute the logits (one matmul — cheaper than 824 MB round-trips)
-    logits = _logits(hidden, kernel, bias)
+    logits = _mask_pad(_logits(hidden, kernel, bias), valid_vocab)
     p = jnp.exp(logits.astype(jnp.float32) - lse[..., None])
     onehot = (targets[..., None] ==
               jnp.arange(v, dtype=targets.dtype)).astype(jnp.float32)

@@ -263,6 +263,40 @@ class AsyncSaver:
                 self._cond.wait(timeout=1.0)
 
 
+# vocab-sized parameter leaves and their vocab axis (flax param paths);
+# "embedding/embedding" also matches "ast_embedding/embedding"
+_VOCAB_LEAF_AXES = (
+    ("embedding/embedding", 0),
+    ("output_layer/kernel", 1),
+    ("output_layer/bias", 0),
+)
+
+
+def adapt_vocab_params(params: Any, padded_vocab: int) -> Any:
+    """Pad (zeros) or slice the vocab axis of the embedding tables and the
+    LM head so params saved under one ``ModelConfig.vocab_pad_multiple``
+    load under another. Pad rows/columns are never read (token ids are
+    always < vocab_size and exposed logits are sliced inside the model), so
+    zero-padding is exact. Walks plain nested mappings (the raw orbax
+    restore / flax params layout) and leaves every other leaf untouched."""
+    def walk(node, path):
+        if hasattr(node, "items"):
+            return {k: walk(v, f"{path}/{k}") for k, v in node.items()}
+        for suffix, ax in _VOCAB_LEAF_AXES:
+            if path.endswith(suffix) and hasattr(node, "shape") \
+                    and node.ndim > ax and node.shape[ax] != padded_vocab:
+                arr = np.asarray(node)
+                if arr.shape[ax] > padded_vocab:
+                    sl = [slice(None)] * arr.ndim
+                    sl[ax] = slice(0, padded_vocab)
+                    return arr[tuple(sl)]
+                pad = [(0, 0)] * arr.ndim
+                pad[ax] = (0, padded_vocab - arr.shape[ax])
+                return np.pad(arr, pad)
+        return node
+    return walk(params, "")
+
+
 def load_checkpoint(path: str,
                     target: Optional[Any] = None) -> Tuple[Any, Dict]:
     """Restore (state_tree, metadata). ``target`` optionally provides the

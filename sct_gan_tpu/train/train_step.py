@@ -92,7 +92,8 @@ def compute_losses(model, params, batch, scalars: DynamicScalars, rng,
         ol = params["output_layer"]
         ce = fused_linear_cross_entropy(
             outputs["lm_hidden"], ol["kernel"], ol["bias"],
-            outputs["target_ids"], row_mask)
+            outputs["target_ids"], row_mask,
+            int(model.config.vocab_size))
         syntax_pen = syntax_penalty(outputs["target_ids"], tables,
                                     row_mask=row_mask)
         gen_loss = ce + 0.5 * syntax_pen     # syntax_weight (train.py:314)

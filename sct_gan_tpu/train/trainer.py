@@ -237,11 +237,24 @@ class SmartContractTrainer:
         training history (the reference's resume flow incl. optimizer state,
         Model-v3/trainning-phase.ipynb cells 11-12). Returns the epoch to
         continue from."""
-        from .checkpoint import load_checkpoint
+        from .checkpoint import adapt_vocab_params, load_checkpoint
         full_target = {"params": self.state.params,
                        "opt_state": self.state.opt_state,
                        "step": self.state.step}
         slim_target = {"params": self.state.params, "step": self.state.step}
+
+        def _vocab_fallback():
+            # checkpoint saved under a different ModelConfig.vocab_pad_multiple
+            # (e.g. a pre-padding 50265-wide LM head restored into the
+            # 50304-padded model): restore raw, pad/slice the vocab leaves,
+            # resume with a freshly initialized optimizer.
+            tree, meta = load_checkpoint(checkpoint_path)
+            tree["params"] = adapt_vocab_params(
+                tree["params"], self.model.config.padded_vocab_size)
+            self._log("checkpoint vocab padding differs from the model's: "
+                      "adapted embedding/LM-head shapes; resuming with a "
+                      "freshly initialized optimizer")
+            return tree, meta
 
         def _fresh_opt(tree):
             # mirror the constructor: the fused optimizer's state layout
@@ -260,22 +273,44 @@ class SmartContractTrainer:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 params_only = bool(json.load(f).get("params_only", False))
+        def _is_shape_mismatch(e: Exception) -> bool:
+            # only a shape/structure mismatch may degrade to the vocab
+            # fallback — corrupt manifests, dtype errors etc. must propagate
+            msg = str(e).lower()
+            return "shape" in msg or "structure" in msg
+
         if params_only is True:
-            tree, meta = load_checkpoint(checkpoint_path, target=slim_target)
+            try:
+                tree, meta = load_checkpoint(checkpoint_path,
+                                             target=slim_target)
+            except Exception as e:
+                if not _is_shape_mismatch(e):
+                    raise
+                tree, meta = _vocab_fallback()
             opt_state = _fresh_opt(tree)
             self._log("checkpoint is params-only (best): resuming with a "
                       "freshly initialized optimizer")
         elif params_only is False:
-            tree, meta = load_checkpoint(checkpoint_path, target=full_target)
-            opt_state = tree["opt_state"]
+            try:
+                tree, meta = load_checkpoint(checkpoint_path,
+                                             target=full_target)
+                opt_state = tree["opt_state"]
+            except Exception as e:
+                if not _is_shape_mismatch(e):
+                    raise
+                tree, meta = _vocab_fallback()
+                opt_state = _fresh_opt(tree)
         else:
             try:
                 tree, meta = load_checkpoint(checkpoint_path,
                                              target=full_target)
                 opt_state = tree["opt_state"]
             except Exception:
-                tree, meta = load_checkpoint(checkpoint_path,
-                                             target=slim_target)
+                try:
+                    tree, meta = load_checkpoint(checkpoint_path,
+                                                 target=slim_target)
+                except Exception:
+                    tree, meta = _vocab_fallback()
                 opt_state = _fresh_opt(tree)
                 self._log("checkpoint has no optimizer state (params-only "
                           "best): resuming with a freshly initialized "

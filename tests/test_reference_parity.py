@@ -311,8 +311,20 @@ def _set_leaf(tree, path, value):
         node = node[p]
     leaf = parts[-1]
     assert leaf in node, f"no flax param at {path}"
-    assert node[leaf].shape == value.shape, (
-        f"{path}: flax {node[leaf].shape} vs torch {value.shape}")
+    if node[leaf].shape != value.shape:
+        # vocab-padded flax param (ModelConfig.vocab_pad_multiple): the flax
+        # side is larger on exactly one axis — zero-pad the torch tensor
+        # (pad rows/columns are never read; logits are sliced in-model)
+        dst_shape, src_shape = node[leaf].shape, value.shape
+        assert len(dst_shape) == len(src_shape), (
+            f"{path}: flax {dst_shape} vs torch {src_shape}")
+        diff = [i for i in range(len(dst_shape))
+                if dst_shape[i] != src_shape[i]]
+        assert len(diff) == 1 and dst_shape[diff[0]] > src_shape[diff[0]], (
+            f"{path}: flax {dst_shape} vs torch {src_shape}")
+        pad = [(0, 0)] * len(dst_shape)
+        pad[diff[0]] = (0, dst_shape[diff[0]] - src_shape[diff[0]])
+        value = np.pad(value, pad)
     node[leaf] = value
 
 

@@ -13,8 +13,15 @@ dp=4 x mp=2 virtual 8-device mesh,
 
 Writes results to stdout as one JSON line (and --json FILE).
 
-Usage: python tools/scaling_mp.py [--json scaling_mp.json]
-(self-provisions the 8-device CPU mesh by re-exec, the dryrun recipe)
+Usage: python tools/scaling_mp.py [--json scaling_mp.json] [--dp N --mp N]
+(self-provisions the virtual CPU mesh by re-exec, the dryrun recipe)
+
+Default mesh is dp=1 x mp=2: this image has ONE physical core, and XLA-CPU's
+collective rendezvous has a fatal 40 s skew limit — 8 full-size device
+programs timesharing one core cannot all reach an all-reduce in time
+(observed F rendezvous.cc:127 termination at dp=4 x mp=2). Two device
+threads are schedulable; the mp-sharding facts being proven are identical.
+dp scaling is proven separately (tools/scaling_dp.py, tiny shapes).
 """
 from __future__ import annotations
 
@@ -39,7 +46,9 @@ def _ensure_virtual_devices() -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default="")
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--dp", type=int, default=1)
+    ap.add_argument("--mp", type=int, default=2)
     args = ap.parse_args()
 
     _ensure_virtual_devices()
@@ -71,7 +80,7 @@ def main() -> None:
         def __iter__(self):
             return iter(())
 
-    mesh = make_mesh(dp=4, mp=2)
+    mesh = make_mesh(dp=args.dp, mp=args.mp)
     trainer = SmartContractTrainer(
         model, _Empty(), _Empty(), tok,
         config=TrainConfig(learning_rate=1e-5, use_gan=True,
