@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from ..losses.syntax import SyntaxLossTables
-from ..ops.sampling import penalize_repetition, top_k_top_p_filter
+from ..ops.sampling import (penalize_repetition, sample_top_k_top_p,
+                            top_k_top_p_filter)
 
 BOS_ID = 1
 EOS_ID = 2
@@ -111,11 +112,13 @@ def make_generate_fn(model, tables: Optional[SyntaxLossTables] = None,
             if repetition_penalty != 1.0:
                 logits = penalize_repetition(logits, cur[:, 0],
                                              repetition_penalty)
-            logits = top_k_top_p_filter(logits, top_k, top_p)
             rng, sub = jax.random.split(rng)
             if track_repetition:
+                # dense filtered logits: the noise injection needs the full
+                # per-vocab probability vector (inference.py:1162-1166)
+                logits = top_k_top_p_filter(logits, top_k, top_p)
                 # probs + U(0, 0.2) noise, renormalized, once a token has
-                # repeated > noise_after times (inference.py:1162-1166)
+                # repeated > noise_after times
                 probs = jax.nn.softmax(logits, axis=-1)
                 rng, nrng = jax.random.split(rng)
                 noise = jax.random.uniform(nrng, probs.shape) * 0.2
@@ -126,8 +129,9 @@ def make_generate_fn(model, tables: Optional[SyntaxLossTables] = None,
                 nxt = jax.random.categorical(
                     sub, jnp.log(probs), axis=-1).astype(jnp.int32)
             else:
-                nxt = jax.random.categorical(sub, logits,
-                                             axis=-1).astype(jnp.int32)
+                # fused: categorical over the k kept logits + index gather —
+                # no (B, V) scatter / full-vocab gumbel inside the loop
+                nxt = sample_top_k_top_p(sub, logits, top_k, top_p)
             nxt = jnp.where(finished, PAD_ID, nxt)
             tokens = jax.lax.dynamic_update_slice_in_dim(
                 tokens, nxt[:, None], pos + 1, axis=1)

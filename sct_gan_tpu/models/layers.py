@@ -107,22 +107,31 @@ class _HeadProjection(nn.Module):
     dtype: Any = None
     kernel_init: Callable = xavier_init
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
+        self.kernel = self.param("kernel", self.kernel_init,
+                                 (self.d_model, self.d_model))
+        self.bias = self.param("bias", zeros_init, (self.d_model,))
+
+    def padded_kernel_bias(self):
+        """(d, H·head_pad) kernel and (H·head_pad,) bias in the lane-padded
+        split-head layout, compute dtype. Lets callers concatenate q/k/v
+        weights into ONE decode-step matmul (MultiheadAttention.step)."""
         h = self.num_heads
         dh = self.d_model // h
-        kernel = self.param("kernel", self.kernel_init,
-                            (self.d_model, self.d_model))
-        bias = self.param("bias", zeros_init, (self.d_model,))
-        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
-                                                  dtype=self.dtype)
+        kernel, bias = nn.dtypes.promote_dtype(self.kernel, self.bias,
+                                               dtype=self.dtype)
         if self.head_pad != dh:
             kernel = jnp.pad(kernel.reshape(self.d_model, h, dh),
                              ((0, 0), (0, 0), (0, self.head_pad - dh)))
             bias = jnp.pad(bias.reshape(h, dh),
                            ((0, 0), (0, self.head_pad - dh)))
-        kernel = kernel.reshape(self.d_model, h * self.head_pad)
-        bias = bias.reshape(h * self.head_pad)
+        return (kernel.reshape(self.d_model, h * self.head_pad),
+                bias.reshape(h * self.head_pad))
+
+    def __call__(self, x):
+        h = self.num_heads
+        kernel, bias = self.padded_kernel_bias()
+        (x,) = nn.dtypes.promote_dtype(x, dtype=self.dtype)
         y = x @ kernel + bias
         b, s = x.shape[0], x.shape[1]
         return y.reshape(b, s, h, self.head_pad).transpose(0, 2, 1, 3)
@@ -259,13 +268,24 @@ class MultiheadAttention(nn.Module):
         Returns:
             (out (B, 1, d), new_k_cache, new_v_cache)
         """
-        k_new = self.k_proj(query)                # (B, H, 1, head_pad)
-        v_new = self.v_proj(query)
+        # one fused (d, 3·H·dp) matmul instead of three separate projections:
+        # the decode step is per-op-overhead-bound (tiny tensors), and the
+        # kernel concat is loop-invariant so XLA hoists it out of the
+        # while_loop body
+        b = query.shape[0]
+        h, dp = self.num_heads, self.head_pad
+        kernels, biases = zip(self.q_proj.padded_kernel_bias(),
+                              self.k_proj.padded_kernel_bias(),
+                              self.v_proj.padded_kernel_bias())
+        w = jnp.concatenate(kernels, axis=1)
+        bias = jnp.concatenate(biases)
+        (query,) = nn.dtypes.promote_dtype(query, dtype=self.dtype)
+        qkv = (query @ w + bias).reshape(b, 1, 3, h, dp).transpose(2, 0, 3, 1, 4)
+        q, k_new, v_new = qkv[0], qkv[1], qkv[2]  # (B, H, 1, head_pad)
         k_cache = jax.lax.dynamic_update_slice_in_dim(
             k_cache, k_new.astype(k_cache.dtype), pos, axis=2)
         v_cache = jax.lax.dynamic_update_slice_in_dim(
             v_cache, v_new.astype(v_cache.dtype), pos, axis=2)
-        q = self.q_proj(query)
         s = k_cache.shape[2]
         visible = jnp.arange(s)[None, :] <= pos   # (1, S) causal-visible keys
         visible = jnp.broadcast_to(visible, (q.shape[0], s))

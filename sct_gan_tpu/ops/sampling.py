@@ -86,6 +86,35 @@ def top_k_top_p_filter(logits: jnp.ndarray, top_k: int = 50,
     return out.reshape(logits.shape)
 
 
+def sample_top_k_top_p(rng: jax.Array, logits: jnp.ndarray,
+                       top_k: int = 50, top_p: float = 0.95) -> jnp.ndarray:
+    """Draw one token per row from the top-k/top-p-filtered distribution,
+    WITHOUT materializing filtered full-vocab logits.
+
+    Distribution-exact fusion of ``categorical(top_k_top_p_filter(logits))``:
+    every token outside the top-k (or nucleus-removed) has probability zero
+    there, so sampling reduces to a categorical over the k kept logits
+    followed by an index gather. Replaces the decode loop's (B, V) -inf
+    fill + 50-value scatter + full-vocab gumbel/argmax (V=50k) with
+    k=50-wide ops — only the single ``lax.top_k`` still touches the vocab
+    axis. Returns (B,) int32 token ids.
+    """
+    v = logits.shape[-1]
+    if top_k <= 0 or top_k >= v:
+        return jax.random.categorical(
+            rng, top_p_filter(logits, top_p), axis=-1).astype(jnp.int32)
+    vals, idx = jax.lax.top_k(logits, top_k)
+    if top_p < 1.0:
+        cum = jnp.cumsum(jax.nn.softmax(vals, axis=-1), axis=-1)
+        remove = cum > top_p
+        remove = jnp.concatenate(
+            [jnp.zeros_like(remove[..., :1]), remove[..., :-1]], axis=-1)
+        vals = jnp.where(remove, _NEG_INF, vals)
+    choice = jax.random.categorical(rng, vals, axis=-1)      # (B,) in [0, k)
+    return jnp.take_along_axis(idx, choice[..., None],
+                               axis=-1)[..., 0].astype(jnp.int32)
+
+
 def sample_categorical(rng: jax.Array, logits: jnp.ndarray,
                        temperature: float = 1.0,
                        top_k: int = 0, top_p: float = 1.0) -> jnp.ndarray:

@@ -126,6 +126,30 @@ def test_fused_top_k_top_p_matches_dense():
         np.testing.assert_allclose(fused, dense, rtol=0, atol=0)
 
 
+def test_sample_top_k_top_p_distribution_exact():
+    """The in-top-k sampler must draw from EXACTLY the distribution of
+    categorical(dense filtered logits): same support, and empirical
+    frequencies within binomial noise of the dense path's probabilities."""
+    from sct_gan_tpu.ops.sampling import (_dense_top_k_top_p,
+                                          sample_top_k_top_p)
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(0, 2, (1, 257)).astype(np.float32))
+    k, p = 8, 0.9
+    dense = np.asarray(jax.nn.softmax(
+        jnp.asarray(_dense_top_k_top_p(logits, k, p)), -1))[0]
+    support = set(np.flatnonzero(dense > 1e-9).tolist())
+    n = 20_000
+    draws = sample_top_k_top_p(
+        jax.random.PRNGKey(0), jnp.tile(logits, (n, 1)), k, p)
+    draws = np.asarray(draws)
+    assert set(draws.tolist()) <= support
+    freq = np.bincount(draws, minlength=257) / n
+    # 5-sigma binomial bound per kept token
+    for t in support:
+        sd = (dense[t] * (1 - dense[t]) / n) ** 0.5
+        assert abs(freq[t] - dense[t]) < 5 * sd + 1e-4, (t, freq[t], dense[t])
+
+
 def test_top_p_filter_mass():
     rng = np.random.default_rng(4)
     logits = jnp.asarray(rng.normal(size=(3, 20)).astype(np.float32))
@@ -147,8 +171,30 @@ def test_sample_categorical_respects_filter():
     assert set(np.asarray(toks).tolist()) <= {0, 2}
 
 
+def test_hash_dropout_statistics():
+    """The fused-hash mask stream: keep-rate within binomial bounds at
+    several rates, no inter-seed correlation, and no row/column structure
+    (every row and column of a (256, 512) mask keeps 40-60% at rate 0.5)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sct_gan_tpu.ops.dropout import _hash_keep
+
+    for rate in (0.1, 0.3, 0.5):
+        keep = np.asarray(_hash_keep((256, 512), jnp.int32(123), rate))
+        got = keep.mean()
+        # 131072 draws: 5 sigma ≈ 0.007
+        assert abs(got - (1.0 - rate)) < 0.01, (rate, got)
+    k1 = np.asarray(_hash_keep((256, 512), jnp.int32(1), 0.5))
+    k2 = np.asarray(_hash_keep((256, 512), jnp.int32(2), 0.5))
+    agree = (k1 == k2).mean()
+    assert 0.45 < agree < 0.55          # independent streams
+    assert ((k1.mean(axis=0) > 0.35) & (k1.mean(axis=0) < 0.65)).all()
+    assert ((k1.mean(axis=1) > 0.35) & (k1.mean(axis=1) < 0.65)).all()
+
+
 def test_fast_dropout_cpu_fallback():
-    """On CPU fast_dropout uses the jax.random path: check semantics."""
+    """fast_dropout semantics (fused-hash path on every platform)."""
     import jax
     import jax.numpy as jnp
     from sct_gan_tpu.ops.dropout import fast_dropout

@@ -31,12 +31,26 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--only", type=str, default="",
                     help="comma-separated subset of ablation names")
+    ap.add_argument("--d-model", type=int, default=768)
+    ap.add_argument("--ffn", type=int, default=None)
+    ap.add_argument("--vocab", type=int, default=50265)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--no-gan", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the platform to host CPU (anchor diagnosis — "
+                         "tools/baseline_anchor.py runs there)")
     args = ap.parse_args()
 
-    from sct_gan_tpu.utils.profiling import enable_compilation_cache
-    enable_compilation_cache()
-
     import jax
+    if args.cpu:
+        # No compilation cache on host-CPU runs: the shared cache holds
+        # XLA:CPU AOT artifacts compiled by the REMOTE compile server for a
+        # different machine (+prefer-no-scatter/+prefer-no-gather), which
+        # load with feature-mismatch warnings and skew timing.
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from sct_gan_tpu.utils.profiling import enable_compilation_cache
+        enable_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
     import optax
@@ -49,15 +63,15 @@ def main() -> None:
                                            solidity_syntax_loss)
     from sct_gan_tpu.models.sct_transformer import SmartContractTransformer
 
-    b, s = args.batch, args.seq
-    tok = SolidityTokenizer(vocab_size=50265)
+    b, s, v = args.batch, args.seq, args.vocab
+    tok = SolidityTokenizer(vocab_size=v)
     tables = SyntaxLossTables.from_tokenizer(tok)
 
     rng = np.random.default_rng(0)
     batch = {
-        "input_ids": jnp.asarray(rng.integers(0, 50265, (b, s), np.int32)),
+        "input_ids": jnp.asarray(rng.integers(0, v, (b, s), np.int32)),
         "attention_mask": jnp.ones((b, s), jnp.int32),
-        "ast_input_ids": jnp.asarray(rng.integers(0, 50265, (b, s), np.int32)),
+        "ast_input_ids": jnp.asarray(rng.integers(0, v, (b, s), np.int32)),
         "ast_attention_mask": jnp.ones((b, s), jnp.int32),
         "token_to_line": jnp.asarray(np.tile(np.minimum(
             np.arange(s, dtype=np.int32) // 6, s - 1), (b, 1))),
@@ -155,8 +169,13 @@ def main() -> None:
         np.asarray(tiny + i)
         return time.perf_counter() - t0
 
-    base_cfg = ModelConfig(use_gan=True, max_length=s, max_lines=s,
-                           compute_dtype="bfloat16")
+    base_cfg = ModelConfig(
+        use_gan=not args.no_gan, max_length=s, max_lines=s,
+        d_model=args.d_model, vocab_size=v,
+        dim_feedforward=args.ffn or (2048 if args.d_model == 768
+                                     else args.d_model * 8 // 3),
+        compute_dtype=args.dtype,
+        use_flash_attention=not args.cpu)   # no Mosaic on host CPU
 
     ablations = {
         "full": dict(),
