@@ -253,8 +253,14 @@ class MultiheadAttention(nn.Module):
                   key_padding_mask: Optional[jnp.ndarray] = None):
         """Attention of a short query against precomputed split-head K/V."""
         q = self.q_proj(query)
-        out = mha_reference(q, k, v, key_padding_mask=key_padding_mask,
-                            sm_scale=self.sm_scale)
+        if (q.shape[2] == 1 and key_padding_mask is not None
+                and jax.default_backend() == "tpu"):
+            from ..ops.decode_attention import decode_attention
+            out = decode_attention(q, k, v, key_padding_mask,
+                                   sm_scale=self.sm_scale)
+        else:
+            out = mha_reference(q, k, v, key_padding_mask=key_padding_mask,
+                                sm_scale=self.sm_scale)
         return self.out_proj(out)
 
     def step(self, query, k_cache, v_cache, pos):
@@ -289,8 +295,13 @@ class MultiheadAttention(nn.Module):
         s = k_cache.shape[2]
         visible = jnp.arange(s)[None, :] <= pos   # (1, S) causal-visible keys
         visible = jnp.broadcast_to(visible, (q.shape[0], s))
-        out = mha_reference(q, k_cache, v_cache, key_padding_mask=visible,
-                            sm_scale=self.sm_scale)
+        if jax.default_backend() == "tpu":
+            from ..ops.decode_attention import decode_attention
+            out = decode_attention(q, k_cache, v_cache, visible,
+                                   sm_scale=self.sm_scale)
+        else:
+            out = mha_reference(q, k_cache, v_cache, key_padding_mask=visible,
+                                sm_scale=self.sm_scale)
         return self.out_proj(out), k_cache, v_cache
 
 

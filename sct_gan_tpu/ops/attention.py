@@ -88,8 +88,14 @@ def mha_reference(
         all_masked = jnp.max(scores, axis=-1, keepdims=True) <= -1e29
         weights = jnp.where(all_masked, 0.0, weights)
     if dropout_rate > 0.0 and not deterministic:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
-                                    weights.shape)
+        # hash-mask dropout (ops/dropout.py): a (B, H, Sq, Sk) threefry
+        # bernoulli costs ~20 rounds/element and dominated the dense path —
+        # the murmur-finalizer mask fuses into the softmax/PV elementwise
+        # group for a few VPU ops instead
+        from .dropout import _hash_keep
+        seed = jax.random.randint(dropout_rng, (), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        keep = _hash_keep(weights.shape, seed, float(dropout_rate))
         weights_dropped = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     else:
         weights_dropped = weights

@@ -76,6 +76,30 @@ def test_generate_fn_shapes_and_stop(model_and_params):
     assert tokens.dtype == np.int32
 
 
+def test_generate_chunked_cache_matches_full(model_and_params):
+    """cache_chunk sub-loops must produce bit-identical tokens to the single
+    full-width loop: each step performs the same masked attention and draws
+    from the same rng stream regardless of chunk boundaries."""
+    model, params = model_and_params
+    tok = SolidityTokenizer(vocab_size=CFG.vocab_size)
+    tables = SyntaxLossTables.from_tokenizer(tok)
+    b = 2
+    rng = np.random.default_rng(7)
+    memory = jnp.asarray(rng.normal(0, 1, (b, CFG.max_length, CFG.d_model)),
+                         jnp.float32)
+    src_mask = jnp.ones((b, CFG.max_length), bool)
+    kw = dict(min_length=4, max_length=CFG.max_length)
+    full = make_generate_fn(model, tables, cache_chunk=None, **kw)
+    chunked = make_generate_fn(model, tables, cache_chunk=16, **kw)
+    ragged = make_generate_fn(model, tables, cache_chunk=13, **kw)
+    key = jax.random.PRNGKey(3)
+    want = np.asarray(full(params, memory, src_mask, key, 0.8))
+    np.testing.assert_array_equal(
+        np.asarray(chunked(params, memory, src_mask, key, 0.8)), want)
+    np.testing.assert_array_equal(
+        np.asarray(ragged(params, memory, src_mask, key, 0.8)), want)
+
+
 def test_beam_search_runs(model_and_params):
     model, params = model_and_params
     beam = make_beam_search_fn(model, beam_size=2, max_length=12)

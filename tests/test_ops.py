@@ -150,6 +150,36 @@ def test_sample_top_k_top_p_distribution_exact():
         assert abs(freq[t] - dense[t]) < 5 * sd + 1e-4, (t, freq[t], dense[t])
 
 
+@pytest.mark.parametrize("s,masked", [(128, "causal"), (256, "padding"),
+                                      (64, "one_row_fully_masked")])
+def test_decode_attention_matches_reference_interpret(s, masked):
+    """Fused single-query decode attention vs mha_reference at Sq=1
+    (interpret mode), incl. the fully-masked-row zero convention."""
+    from sct_gan_tpu.ops.attention import mha_reference
+    from sct_gan_tpu.ops.decode_attention import decode_attention
+
+    rng = np.random.default_rng(9)
+    b, h, dp = 3, 4, 128
+    q = jnp.asarray(rng.normal(0, 1, (b, h, 1, dp)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (b, h, s, dp)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (b, h, s, dp)), jnp.float32)
+    if masked == "causal":
+        mask = jnp.broadcast_to(jnp.arange(s)[None, :] <= 17, (b, s))
+    elif masked == "padding":
+        mask = jnp.asarray(rng.random((b, s)) < 0.7)
+        mask = mask.at[:, 0].set(True)
+    else:
+        mask = jnp.ones((b, s), bool).at[1].set(False)
+    scale = 1.0 / (96 ** 0.5)
+    want = np.asarray(mha_reference(q, k, v, key_padding_mask=mask,
+                                    sm_scale=scale))
+    got = np.asarray(decode_attention(q, k, v, mask, sm_scale=scale,
+                                      interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    if masked == "one_row_fully_masked":
+        assert np.all(got[1] == 0.0)
+
+
 def test_top_p_filter_mass():
     rng = np.random.default_rng(4)
     logits = jnp.asarray(rng.normal(size=(3, 20)).astype(np.float32))
