@@ -102,11 +102,14 @@ def main() -> None:
     }
 
     # -- 1. GSPMD inspection. Two facts are checked:
-    # (a) the LM logits CAN come out mp-sharded on the vocab axis (explicit
-    #     out_shardings compiles and produces half-width shards), and
+    # (a) the PADDED-width LM logits (the tensor the LM head actually
+    #     produces: padded_vocab_size = 50304, 128-lane + mp-divisible —
+    #     the public "logits" are sliced to 50265, which is not divisible
+    #     by mp and is never materialized on the fused-CE train path) CAN
+    #     come out mp-sharded on the vocab axis, and
     # (b) the actual TRAIN STEP's compiled (partitioned) HLO contains no
-    #     full-width (B, S, 50265) rank-3 tensor — i.e. the CE path keeps
-    #     the vocab axis sharded instead of all-gathering the logits.
+    #     full-width (B, S, 50265|50304) rank-3 tensor — i.e. the CE path
+    #     keeps the vocab axis sharded instead of all-gathering the logits.
     db = shard_batch(batch, mesh)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -117,8 +120,11 @@ def main() -> None:
             ast_input_ids=batch["ast_input_ids"],
             ast_attention_mask=batch["ast_attention_mask"],
             target_ids=batch["input_ids"],
-            token_to_line=batch["token_to_line"], deterministic=True)
-        return outs["logits"]
+            token_to_line=batch["token_to_line"], deterministic=True,
+            return_lm_hidden=True)
+        # padded-width logits, exactly what the fused-CE path shards
+        return model.apply({"params": params}, outs["lm_hidden"],
+                           method=lambda m, h: m.output_layer(h))
 
     fwd_logits = jax.jit(
         _fwd, out_shardings=NamedSharding(mesh, P("dp", None, "mp")))
@@ -127,7 +133,7 @@ def main() -> None:
     vocab_shard = min(shape[-1] for shape in shard_shapes)
     out["logits_shape"] = list(logits.shape)
     out["logits_vocab_shard_width"] = int(vocab_shard)
-    out["logits_mp_sharded"] = bool(vocab_shard < cfg.vocab_size)
+    out["logits_mp_sharded"] = bool(vocab_shard < cfg.padded_vocab_size)
     print(f"logits {logits.shape} mp-sharded shard width={vocab_shard}",
           file=sys.stderr)
 
@@ -139,10 +145,12 @@ def main() -> None:
         jax.random.PRNGKey(0)).compile().as_text()
     import re as _re
     full_width = sorted(set(_re.findall(
-        r"\w+\[\d+,\d+,%d\]" % cfg.vocab_size, hlo)))
+        r"\w+\[\d+,\d+,(?:%d|%d)\]" % (cfg.vocab_size,
+                                       cfg.padded_vocab_size), hlo)))
     out["train_step_full_vocab_tensors"] = full_width
     out["ce_path_mp_sharded"] = not full_width
-    print(f"train-step HLO full-width (B,S,{cfg.vocab_size}) tensors: "
+    print(f"train-step HLO full-width (B,S,{cfg.vocab_size}|"
+          f"{cfg.padded_vocab_size}) tensors: "
           f"{full_width or 'none'}", file=sys.stderr)
 
     # -- 2. one full fused train step at full size under dp=4 x mp=2
