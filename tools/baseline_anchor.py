@@ -218,7 +218,7 @@ def main() -> None:
     records = generate_corpus(n=args.contracts, seed=5)
 
     out = {"d_model": args.d_model, "batch": args.batch, "seq": 1024,
-           "gan": args.gan}
+           "gan": args.gan, "host_cpus": os.cpu_count()}
     if not args.skip_mine:
         out.update(time_mine(args, tok.vocab_size))
     if not args.skip_ref:
