@@ -124,8 +124,9 @@ class TrainConfig:
     # the coefficients — no per-stage tree rewrites, no keep-where sweep.
     # (The round-2 concat-into-one-vector design measured SLOWER, 33.1 vs
     # 18.5 ms/step — the 896 MB gather/scatter swamped the launch savings —
-    # and was replaced by this.)
-    fused_optimizer: bool = False
+    # and was replaced by this.) Default ON since round 5: the optax chain
+    # remains only as the identity-test oracle.
+    fused_optimizer: bool = True
     # Fuse the LM head matmul + mean token CE into one custom-VJP op
     # (ops/fused_ce.py): the (B, S, 50k) logits are produced AND reduced
     # inside the op — never materialized between model and loss — and the

@@ -183,6 +183,70 @@ def _txorigin_v1(nm: _Names) -> Tuple[List[str], List[int]]:
              "    }"], [1])
 
 
+def _arthm_v3(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(uint256 {a}) public {{",
+             f"        uint256 fee = {a} * rate / 100;",
+             "        total = total - fee;",
+             "    }"], [1, 2])
+
+
+def _dos_v2(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        for (uint i = 0; i < holders.length; i++) {",
+             "            if (!holders[i].send(dividend)) { revert(); }",
+             "        }",
+             "    }"], [1, 2])
+
+
+def _le_v2(nm: _Names) -> Tuple[List[str], List[int]]:
+    return (["    fallback() external payable {",
+             "        state = 7;",
+             "    }"], [1])
+
+
+def _rent_v2(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(uint256 {a}) public {{",
+             f"        payable(msg.sender).call{{value: {a}}}(\"\");",
+             f"        if (balances[msg.sender] >= {a}) {{ "
+             f"balances[msg.sender] -= {a}; }}",
+             "    }"], [1, 2])
+
+
+def _timem_v2(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        if (block.timestamp % 10 == 3) {",
+             "            dividend = dividend + 1;",
+             "        }",
+             "    }"], [1])
+
+
+def _timeo_v2(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        if (block.timestamp == deadline) { dividend += 2; }",
+             "    }"], [1])
+
+
+def _txorigin_v2(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}(uint256 r) public {{",
+             "        if (tx.origin != owner) { revert(); }",
+             "        rate = r;",
+             "    }"], [1])
+
+
+def _ue_v2(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a, ad = nm.fn(), nm.amt(), nm.addr()
+    return ([f"    function {f}(address payable {ad}, uint256 {a}) public {{",
+             f"        {ad}.send({a});",
+             f"        balances[{ad}] = 0;",
+             "    }"], [1])
+
+
 def _ue_v0(nm: _Names) -> Tuple[List[str], List[int]]:
     f, a, ad = nm.fn(), nm.amt(), nm.addr()
     return ([f"    function {f}(address payable {ad}, uint256 {a}) public {{",
@@ -338,31 +402,246 @@ def _ue_f1b(nm: _Names) -> Tuple[List[str], List[int]]:
              "    }"], [1])
 
 
-# builder -> template family (0 or 1); corpus v2 keeps the families disjoint
-# between train and eval splits
+def _arthm_f1c(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(uint256 {a}) public {{",
+             f"        unchecked {{ balances[msg.sender] += {a} * rate; }}",
+             "    }"], [1])
+
+
+def _dos_f1c(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        uint n = holders.length;",
+             "        for (uint k = 0; k < n; k++) {",
+             "            payable(holders[k]).transfer(balances[holders[k]]);",
+             "        }",
+             "    }"], [2, 3])
+
+
+def _le_f1c(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public payable {{",
+             "        require(msg.value >= rate);",
+             "        total = total + msg.value;",
+             "    }"], [2])
+
+
+def _rent_f1c(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        require(!paused);",
+             "        uint256 bal = locked[msg.sender];",
+             "        (bool done, ) = payable(msg.sender).call{value: bal}"
+             "(\"\");",
+             "        locked[msg.sender] = locked[msg.sender] - bal;",
+             "        require(done);",
+             "    }"], [3, 4])
+
+
+def _timem_f1c(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public view returns (uint256) {{",
+             "        return uint256(keccak256(abi.encodePacked("
+             "block.number, block.timestamp))) % 6;",
+             "    }"], [1])
+
+
+def _timeo_f1c(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        require(block.number >= deadline);",
+             "        state = 9;",
+             "    }"], [1])
+
+
+def _txorigin_f1c(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        address caller = tx.origin;",
+             "        require(caller == owner);",
+             "        state = 8;",
+             "    }"], [1, 2])
+
+
+def _ue_f1c(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}(address impl) public {{",
+             "        impl.delegatecall(abi.encodeWithSignature(\"sync()\"));",
+             "    }"], [1])
+
+
+# -- family-2 variants (round 5): a third disjoint family that NO training
+# direction ever sees — the pure-generalization column of the cross-family
+# matrix (VERDICT r4 item 5).
+
+def _arthm_f2a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        state = state - 1;",
+             "    }"], [1])
+
+
+def _arthm_f2b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(uint256 {a}, uint256 t) public {{",
+             f"        uint256 interest = {a} * rate * t;",
+             "        balances[msg.sender] += interest;",
+             "    }"], [1, 2])
+
+
+def _dos_f2a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        for (uint i = 0; i < holders.length; i++) {",
+             "            delete balances[holders[i]];",
+             "        }",
+             "    }"], [1, 2])
+
+
+def _dos_f2b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        uint i = holders.length;",
+             "        do {",
+             "            i--;",
+             "            holders[i].transfer(locked[holders[i]]);",
+             "        } while (i > 0);",
+             "    }"], [2, 4])
+
+
+def _le_f2a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() external payable {{",
+             "        locked[msg.sender] = 1;",
+             "    }"], [1])
+
+
+def _le_f2b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public payable {{",
+             "        emit Deposit(msg.sender, msg.value);",
+             "    }"], [1])
+
+
+def _rent_f2a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        uint256 p = balances[msg.sender];",
+             "        if (p > 0) {",
+             "            msg.sender.call{value: p}(\"\");",
+             "            balances[msg.sender] = 0;",
+             "        }",
+             "    }"], [3, 4])
+
+
+def _rent_f2b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, ad = nm.fn(), nm.addr()
+    return ([f"    function {f}(address payable {ad}) public {{",
+             f"        {ad}.call{{value: dividend}}(\"\");",
+             f"        locked[{ad}] = block.number;",
+             "    }"], [1, 2])
+
+
+def _timem_f2a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        uint256 seed = block.timestamp ^ "
+             "uint256(uint160(msg.sender));",
+             "        if (seed % 3 == 0) { balances[msg.sender] += 1; }",
+             "    }"], [1, 2])
+
+
+def _timem_f2b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public view returns (bool) {{",
+             "        return blockhash(block.number - 2) == "
+             "blockhash(block.number - 1);",
+             "    }"], [1])
+
+
+def _timeo_f2a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        if (now >= deadline && !paused) {",
+             "            paused = true;",
+             "        }",
+             "    }"], [1])
+
+
+def _timeo_f2b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        require(block.number % 256 == 0);",
+             "        dividend = 0;",
+             "    }"], [1])
+
+
+def _txorigin_f2a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        require(tx.origin == msg.sender && tx.origin == owner);",
+             "        paused = false;",
+             "    }"], [1])
+
+
+def _txorigin_f2b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f = nm.fn()
+    return ([f"    function {f}() public {{",
+             "        owner = tx.origin;",
+             "    }"], [1])
+
+
+def _ue_f2a(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, ad = nm.fn(), nm.addr()
+    return ([f"    function {f}(address payable {ad}) public {{",
+             f"        {ad}.call{{gas: 2300, value: dividend}}(\"\");",
+             "    }"], [1])
+
+
+def _ue_f2b(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(address token, uint256 {a}) public {{",
+             f"        token.call(abi.encodePacked(bytes4(0xa9059cbb), {a}));",
+             "    }"], [1])
+
+
+# builder -> template family (0, 1, or 2); corpus v2 keeps the families
+# disjoint between train and eval splits
 _VULN_BUILDERS: Dict[str, Sequence] = {
-    "ARTHM": (_arthm_v0, _arthm_v1, _arthm_v2),
-    "DOS": (_dos_v0, _dos_v1),
-    "LE": (_le_v0, _le_v1),
-    "RENT": (_rent_v0, _rent_v1),
-    "TimeM": (_timem_v0, _timem_v1),
-    "TimeO": (_timeo_v0, _timeo_v1),
-    "Tx-Origin": (_txorigin_v0, _txorigin_v1),
-    "UE": (_ue_v0, _ue_v1),
+    "ARTHM": (_arthm_v0, _arthm_v1, _arthm_v2, _arthm_v3),
+    "DOS": (_dos_v0, _dos_v1, _dos_v2),
+    "LE": (_le_v0, _le_v1, _le_v2),
+    "RENT": (_rent_v0, _rent_v1, _rent_v2),
+    "TimeM": (_timem_v0, _timem_v1, _timem_v2),
+    "TimeO": (_timeo_v0, _timeo_v1, _timeo_v2),
+    "Tx-Origin": (_txorigin_v0, _txorigin_v1, _txorigin_v2),
+    "UE": (_ue_v0, _ue_v1, _ue_v2),
 }
 
 _VULN_BUILDERS_F1: Dict[str, Sequence] = {
-    "ARTHM": (_arthm_f1a, _arthm_f1b),
-    "DOS": (_dos_f1a, _dos_f1b),
-    "LE": (_le_f1a, _le_f1b),
-    "RENT": (_rent_f1a, _rent_f1b),
-    "TimeM": (_timem_f1a, _timem_f1b),
-    "TimeO": (_timeo_f1a, _timeo_f1b),
-    "Tx-Origin": (_txorigin_f1a, _txorigin_f1b),
-    "UE": (_ue_f1a, _ue_f1b),
+    "ARTHM": (_arthm_f1a, _arthm_f1b, _arthm_f1c),
+    "DOS": (_dos_f1a, _dos_f1b, _dos_f1c),
+    "LE": (_le_f1a, _le_f1b, _le_f1c),
+    "RENT": (_rent_f1a, _rent_f1b, _rent_f1c),
+    "TimeM": (_timem_f1a, _timem_f1b, _timem_f1c),
+    "TimeO": (_timeo_f1a, _timeo_f1b, _timeo_f1c),
+    "Tx-Origin": (_txorigin_f1a, _txorigin_f1b, _txorigin_f1c),
+    "UE": (_ue_f1a, _ue_f1b, _ue_f1c),
 }
 
-_FAMILIES = {0: _VULN_BUILDERS, 1: _VULN_BUILDERS_F1}
+_VULN_BUILDERS_F2: Dict[str, Sequence] = {
+    "ARTHM": (_arthm_f2a, _arthm_f2b),
+    "DOS": (_dos_f2a, _dos_f2b),
+    "LE": (_le_f2a, _le_f2b),
+    "RENT": (_rent_f2a, _rent_f2b),
+    "TimeM": (_timem_f2a, _timem_f2b),
+    "TimeO": (_timeo_f2a, _timeo_f2b),
+    "Tx-Origin": (_txorigin_f2a, _txorigin_f2b),
+    "UE": (_ue_f2a, _ue_f2b),
+}
+
+_FAMILIES = {0: _VULN_BUILDERS, 1: _VULN_BUILDERS_F1, 2: _VULN_BUILDERS_F2}
 
 
 # Safe snippets, including near-miss twins of every vulnerable pattern.
@@ -548,8 +827,9 @@ def generate_contract(rng: random.Random,
     distribution is a data property, not a model change.
 
     ``family`` (corpus v2) restricts vulnerable templates to one disjoint
-    family (0 or 1; None = all): train on one, evaluate on the other, so the
-    benchmark measures template generalization. ``distractors`` mixes in
+    family (0, 1, or 2; None = all): train on one, evaluate on the others,
+    so the benchmark measures template generalization. Family 2 is reserved
+    as a never-trained column in the cross-family matrix. ``distractors`` mixes in
     vulnerable-LOOKING safe blocks (comments, strings, dead code,
     cross-type confusers) alongside the plain safe blocks."""
     if vuln_types is None:
@@ -559,6 +839,7 @@ def generate_contract(rng: random.Random,
     nm = _Names(rng)
     builders = (_FAMILIES[family] if family is not None else
                 {vt: tuple(_VULN_BUILDERS[vt]) + tuple(_VULN_BUILDERS_F1[vt])
+                 + tuple(_VULN_BUILDERS_F2[vt])
                  for vt in VULNERABILITY_TYPES})
     safe_pool = (_SAFE_BUILDERS + _DISTRACTOR_BUILDERS if distractors
                  else _SAFE_BUILDERS)

@@ -259,3 +259,36 @@ def test_corpus_v2_families_and_distractors():
                               target_tokens=600)
     assert all(pyast.literal_eval(clean[f"{vt}_lines"]) == []
                for vt in VULNERABILITY_TYPES)
+
+
+def test_corpus_v2_family2_disjoint():
+    """Family 2 (round 5) is the never-trained matrix column: its labeled
+    lines are valid, and its labeled surface forms do not appear among the
+    labeled lines of families 0/1 (spot-checked on signature tokens)."""
+    import ast as pyast
+    from sct_gan_tpu.data.synthetic import (VULNERABILITY_TYPES,
+                                            generate_corpus)
+    fam2 = generate_corpus(n=40, seed=5, family=2, distractors=True)
+    for r in fam2:
+        lines = r["source_code"].split("\n")
+        for vt in VULNERABILITY_TYPES:
+            for ln in pyast.literal_eval(r[f"{vt}_lines"]):
+                assert 0 <= ln < len(lines) and lines[ln].strip()
+
+    def labeled_text(recs, vt):
+        out = []
+        for r in recs:
+            lines = r["source_code"].split("\n")
+            out += [lines[i].strip()
+                    for i in pyast.literal_eval(r[f"{vt}_lines"])]
+        return " ".join(out)
+
+    fam0 = generate_corpus(n=40, seed=6, family=0, distractors=True)
+    fam1 = generate_corpus(n=40, seed=7, family=1, distractors=True)
+    # family-2 signature tokens never labeled in families 0/1
+    for vt, token in [("DOS", "do {"), ("UE", "encodePacked"),
+                      ("Tx-Origin", "owner = tx.origin")]:
+        assert token in labeled_text(fam2, vt) or not any(
+            pyast.literal_eval(r[f"{vt}_lines"]) for r in fam2)
+        assert token not in labeled_text(fam0, vt)
+        assert token not in labeled_text(fam1, vt)

@@ -278,3 +278,64 @@ def test_generate_repetition_penalty_is_wired(model_and_params):
     pen = np.asarray(make_generate_fn(model, repetition_penalty=10.0, **kw)(
         params, memory, src_mask, rng, 1e-4))
     assert not np.array_equal(base, pen)
+
+
+def test_beam_search_matches_numpy_oracle(model_and_params):
+    """The batched fori_loop beam search must reproduce a straightforward
+    per-hypothesis NumPy beam oracle exactly: same expansion (top-k over
+    score + log-prob), same EOS freezing (finished rows continue only with
+    PAD at log-prob 0), same winner. The oracle calls the same decode_step
+    per hypothesis WITHOUT the batched cache-reindex machinery, so any
+    gather/reindex bug in make_beam_search_fn diverges the sequences."""
+    model, params = model_and_params
+    kk, max_len = 3, 10
+    rng = np.random.default_rng(7)
+    b, s = 2, CFG.max_length
+    input_ids = jnp.asarray(rng.integers(2, CFG.vocab_size, (b, s)),
+                            jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32)
+
+    beam = make_beam_search_fn(model, beam_size=kk, max_length=max_len)
+    got = np.asarray(beam(params, input_ids, mask, input_ids, mask,
+                          1.0)["generated_sequence"])
+
+    # -- NumPy oracle ------------------------------------------------------
+    memory, src_mask = model.apply(
+        {"params": params}, input_ids, mask, input_ids, mask,
+        method=model.encode_concat)
+    cross_all = model.apply({"params": params}, memory,
+                            method=model.precompute_cross_kv)
+
+    def step(prefix, row):
+        """Decode the full prefix for ONE hypothesis of batch row `row`
+        without caches: re-run decode_step from scratch (cache correctness
+        is covered by test_kv_cached_decode_matches_teacher_forced)."""
+        caches = _init_caches(CFG, 1, dtype=memory.dtype)
+        cross = jax.tree_util.tree_map(lambda x: x[row:row + 1], cross_all)
+        sm = src_mask[row:row + 1]
+        for pos, t in enumerate(prefix):
+            lg, caches = model.apply(
+                {"params": params},
+                jnp.full((1, 1), t, jnp.int32), jnp.int32(pos),
+                caches, cross, sm, method=model.decode_step)
+        return np.asarray(jax.nn.log_softmax(lg[0].astype(jnp.float32)))
+
+    want = []
+    for row in range(b):
+        beams = [([1], 0.0, False)]            # (tokens, score, finished)
+        for pos in range(max_len - 1):
+            cands = []
+            for tokens, score, fin in beams:
+                if fin:
+                    cands.append((tokens + [0], score, True))
+                    continue
+                lp = step(tokens, row)
+                top = np.argsort(-lp)[:kk]
+                for t in top:
+                    cands.append((tokens + [int(t)], score + float(lp[t]),
+                                  t == 2))
+            cands.sort(key=lambda x: -x[1])
+            beams = cands[:kk]
+        want.append(beams[0][0])
+    want = np.array([w + [0] * (max_len - len(w)) for w in want])
+    np.testing.assert_array_equal(got, want)

@@ -532,3 +532,162 @@ def test_weight_synced_forward_matches_reference(ref, tok):
     np.testing.assert_allclose(np.asarray(got["discriminator_logits"]),
                                want["discriminator_logits"].numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# (e) weight-synced GENERATION decode step (VERDICT r4 item 7a)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_weight_synced_decode_step_matches_reference(ref, tok):
+    """One-token-at-a-time generation parity: the reference's generation
+    loop (model.py:862-930, re-decoding the whole prefix each step) vs this
+    repo's KV-cached `decode_step` (infer/generate.py), with the SAME ported
+    weights. torch.multinomial is patched to a greedy recorder so both sides
+    walk the identical trajectory; at every step the post-temperature,
+    post-top-k/top-p sampling distribution must match."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from sct_gan_tpu.config import ModelConfig
+    from sct_gan_tpu.data.dataset import (ArrayDataLoader,
+                                          SmartContractVulnerabilityDataset)
+    from sct_gan_tpu.data.synthetic import generate_corpus
+    from sct_gan_tpu.infer.generate import _init_caches
+    from sct_gan_tpu.models.sct_transformer import SmartContractTransformer
+    from sct_gan_tpu.ops.sampling import top_k_top_p_filter
+
+    d = 32
+    ref_model = ref["model"].SmartContractTransformer(
+        d_model=d, nhead=2, num_encoder_layers=2, num_decoder_layers=2,
+        dim_feedforward=64, dropout=0.0, max_length=64, vocab_size=512,
+        num_vulnerability_types=8, use_gan=True).eval()
+    # the reference zero-initializes output_layer (model.py init), so an
+    # untrained model emits ALL-ZERO logits and the top-k/top-p support is
+    # decided by torch's unstable sort over ties — randomize the LM head so
+    # the compared distributions are tie-free
+    with torch.no_grad():
+        torch.manual_seed(3)
+        torch.nn.init.normal_(ref_model.output_layer.weight, std=0.2)
+        torch.nn.init.normal_(ref_model.output_layer.bias, std=0.2)
+    cfg = ModelConfig(d_model=d, nhead=2, num_encoder_layers=2,
+                      num_decoder_layers=2, dim_feedforward=64, dropout=0.0,
+                      max_length=64, max_lines=64, vocab_size=512,
+                      use_gan=True, compute_dtype="float32",
+                      use_flash_attention=False)
+    model = SmartContractTransformer(cfg)
+
+    ds = SmartContractVulnerabilityDataset(
+        records=generate_corpus(n=2, seed=17), tokenizer=tok, max_length=64)
+    batch = next(iter(ArrayDataLoader(ds, batch_size=2, shuffle=False)))
+
+    init = model.init(
+        jax.random.PRNGKey(0),
+        input_ids=batch["input_ids"], attention_mask=batch["attention_mask"],
+        ast_input_ids=batch["ast_input_ids"],
+        ast_attention_mask=batch["ast_attention_mask"],
+        target_ids=batch["input_ids"],
+        token_to_line=batch["token_to_line"])["params"]
+    params = torch_state_to_flax(ref_model.state_dict(), init, d)
+
+    # -- reference side: generation mode with a greedy recorder ------------
+    recorded = []
+    orig_multinomial = torch.multinomial
+
+    def greedy_recorder(probs, num_samples, **kw):
+        assert num_samples == 1
+        recorded.append(probs.detach().cpu().numpy().copy())
+        return probs.argmax(dim=-1, keepdim=True)
+
+    torch.multinomial = greedy_recorder
+    try:
+        with torch.no_grad():
+            want = ref_model(
+                input_ids=torch.from_numpy(batch["input_ids"]).long(),
+                attention_mask=torch.from_numpy(
+                    batch["attention_mask"]).long(),
+                ast_input_ids=torch.from_numpy(batch["ast_input_ids"]).long(),
+                ast_attention_mask=torch.from_numpy(
+                    batch["ast_attention_mask"]).long(),
+                target_ids=None,
+                token_to_line=torch.from_numpy(batch["token_to_line"]).long(),
+                apply_syntax_constraints=False)
+    finally:
+        torch.multinomial = orig_multinomial
+    ref_seq = want["generated_sequence"].numpy()
+    assert len(recorded) >= 5, "reference generated too few steps to compare"
+
+    # -- our side: KV-cached decode_step along the same trajectory ---------
+    memory = model.apply(
+        {"params": params}, batch["input_ids"], batch["attention_mask"],
+        batch["ast_input_ids"], batch["ast_attention_mask"],
+        method=model.encode)
+    src_mask = batch["attention_mask"].astype(bool)
+    cross_kvs = model.apply({"params": params}, memory,
+                            method=model.precompute_cross_kv)
+    caches = _init_caches(cfg, 2, dtype=memory.dtype)
+
+    step_fn = jax.jit(lambda p, t, pos, c: model.apply(
+        {"params": p}, t, pos, c, cross_kvs, src_mask,
+        method=model.decode_step))
+
+    tokens = ref_seq[:, :1]                      # BOS
+    for i, want_probs in enumerate(recorded):
+        logits, caches = step_fn(params, jnp.asarray(tokens[:, -1:]),
+                                 jnp.int32(i), caches)
+        filt = top_k_top_p_filter(np.asarray(logits) / 0.7, 50, 0.95)
+        got_probs = np.asarray(jax.nn.softmax(jnp.asarray(filt), axis=-1))
+        np.testing.assert_allclose(got_probs, want_probs,
+                                   rtol=2e-3, atol=2e-5,
+                                   err_msg=f"step {i}")
+        nxt = got_probs.argmax(axis=-1)
+        np.testing.assert_array_equal(nxt, ref_seq[:, i + 1],
+                                      err_msg=f"greedy choice at step {i}")
+        tokens = np.concatenate([tokens, nxt[:, None]], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# (f) the reference's beam search cannot run (VERDICT r4 item 7b)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_reference_beam_search_is_unrunnable(ref):
+    """`generate_with_beam_search` (model.py:1062-1172) feeds integer
+    position TENSORS into PositionalEncoding.forward (model.py:1073,1078:
+    `self.pos_encoder(contract_pos)`), which computes `x + pe[:x.size(0)]` —
+    a (B, S) + (B, 1, d) broadcast that raises for every S != d_model
+    (including the real configuration S=1024, d=768). Even in the contrived
+    square case S == d_model it crashes on the SECOND decode step
+    (tgt_pos (1, 2) vs pe (1, 1, d)). The reference's beam search therefore
+    never produced a usable sequence; this repo's batched KV-cached beam
+    (infer/generate.py:make_beam_search_fn) implements the intended
+    semantics instead, and its per-step scores are pinned by the
+    weight-synced decode-step golden above plus the NumPy-oracle
+    bookkeeping test (tests/test_infer.py)."""
+    import torch
+
+    model = ref["model"].SmartContractTransformer(
+        d_model=32, nhead=2, num_encoder_layers=1, num_decoder_layers=1,
+        dim_feedforward=64, dropout=0.0, max_length=64, vocab_size=128,
+        num_vulnerability_types=8, use_gan=False).eval()
+
+    ids16 = torch.randint(0, 128, (1, 16))
+    mask16 = torch.ones(1, 16, dtype=torch.bool)
+    with pytest.raises(RuntimeError):
+        model.generate_with_beam_search(ids16, mask16, ids16, mask16,
+                                        beam_size=2, max_length=4)
+
+    # square case S == d_model: the encode quirk broadcasts, but the second
+    # decode step still crashes...
+    ids32 = torch.randint(0, 128, (1, 32))
+    mask32 = torch.ones(1, 32, dtype=torch.bool)
+    with pytest.raises(RuntimeError):
+        model.generate_with_beam_search(ids32, mask32, ids32, mask32,
+                                        beam_size=2, max_length=4)
+
+    # ...so the longest sequence it can ever emit is the 2-token
+    # max_length=2 degenerate run.
+    with torch.no_grad():
+        out = model.generate_with_beam_search(ids32, mask32, ids32, mask32,
+                                              beam_size=2, max_length=2)
+    assert out["generated_sequence"].shape[1] == 2

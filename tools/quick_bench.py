@@ -3,7 +3,7 @@
 Same timing methodology as bench.py (differential chained steps); skips the
 fp32/dense naive-port leg so a measurement round-trip fits in ~5 minutes.
 
-Usage: python tools/quick_bench.py [--no-decode] [--decode-batch 32]
+Usage: python tools/quick_bench.py [--no-step] [--no-decode] [--decode-batch N]
 """
 from __future__ import annotations
 
@@ -36,9 +36,7 @@ def main() -> None:
         out["step_ms"] = round(t * 1e3, 2)
         out["tok_per_sec"] = round(batch_size * seq / t, 1)
     else:
-        import jax
         state = trainer.state
-        state = jax.device_put(state)
     if not args.no_decode:
         print("timing decode...", flush=True)
         out.update(time_decode(trainer, state.params, args.decode_batch))

@@ -29,16 +29,27 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--out", default="/tmp/sct_run")
     ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--d-model", type=int, default=768,
+                    help="shrink for smoke runs (full-size parity: 768)")
+    ap.add_argument("--layers", type=int, default=6,
+                    help="encoder/decoder layer count (parity: 6)")
     ap.add_argument("--no-aug", action="store_true")
     ap.add_argument("--max-eval", type=int, default=None)
     ap.add_argument("--corpus-v2", action="store_true",
-                    help="de-saturated benchmark: train on template family 0 "
-                         "(+ near-miss distractors), validate/evaluate on the "
-                         "DISJOINT family 1 — measures template "
-                         "generalization (VERDICT r3 item 3)")
+                    help="de-saturated benchmark: train on ONE template "
+                         "family (+ near-miss distractors), validate "
+                         "in-family, evaluate on every DISJOINT family — "
+                         "measures template generalization (VERDICT r3 "
+                         "item 3, r4 item 5)")
+    ap.add_argument("--train-family", type=int, default=0,
+                    help="corpus-v2 training family (0 or 1; family 2 is "
+                         "reserved as the never-trained matrix column)")
     ap.add_argument("--eval-contracts", type=int, default=None,
-                    help="held-out family-1 corpus size (corpus-v2 only; "
+                    help="held-out per-family corpus size (corpus-v2 only; "
                          "default contracts//5)")
+    ap.add_argument("--patience", type=int, default=None,
+                    help="early-stop patience override (default: reference "
+                         "parity, 24)")
     args = ap.parse_args()
 
     from sct_gan_tpu.utils.profiling import enable_compilation_cache
@@ -54,26 +65,30 @@ def main() -> None:
     from sct_gan_tpu.train import SmartContractTrainer
 
     os.makedirs(args.out, exist_ok=True)
-    cfg = ModelConfig(use_gan=True, max_length=args.seq, max_lines=args.seq)
+    cfg = ModelConfig(use_gan=True, max_length=args.seq, max_lines=args.seq,
+                      d_model=args.d_model,
+                      dim_feedforward=(2048 if args.d_model == 768
+                                       else args.d_model * 8 // 3),
+                      num_encoder_layers=args.layers,
+                      num_decoder_layers=args.layers)
     tok = NativeSolidityTokenizer(vocab_size=cfg.vocab_size)
     print(f"native tokenizer: {tok.native_active}", flush=True)
 
-    test_loader = None
+    test_loaders = {}
     if args.corpus_v2:
         from sct_gan_tpu.data.dataset import (
             ArrayDataLoader, SmartContractVulnerabilityDataset)
-        from sct_gan_tpu.data.synthetic import generate_corpus
+        from sct_gan_tpu.data.synthetic import _FAMILIES, generate_corpus
+        fam = args.train_family
         n_eval = args.eval_contracts or max(args.contracts // 5, 20)
         n_val = max(args.contracts // 10, 16)
         # model selection (early stop / best checkpoint) uses an
-        # IN-distribution family-0 val split; the held-out family-1 corpus
-        # is a pure TEST set never touched during training
-        train_recs = generate_corpus(args.contracts, seed=0, family=0,
+        # IN-distribution same-family val split; the held-out disjoint-family
+        # corpora are pure TEST sets never touched during training
+        train_recs = generate_corpus(args.contracts, seed=0, family=fam,
                                      distractors=True)
-        val_recs = generate_corpus(n_val, seed=777, family=0,
+        val_recs = generate_corpus(n_val, seed=777, family=fam,
                                    distractors=True)
-        test_recs = generate_corpus(n_eval, seed=10**6, family=1,
-                                    distractors=True)
         mk = lambda recs: SmartContractVulnerabilityDataset(
             records=recs, tokenizer=tok, max_length=args.seq)
         train_loader = ArrayDataLoader(mk(train_recs),
@@ -81,10 +96,16 @@ def main() -> None:
                                        shuffle=True, seed=0)
         val_loader = ArrayDataLoader(mk(val_recs),
                                      batch_size=args.batch_size)
-        test_loader = ArrayDataLoader(mk(test_recs),
-                                      batch_size=args.batch_size)
-        print(f"corpus v2: {args.contracts} train + {n_val} val (family 0 + "
-              f"distractors), {n_eval} TEST (held-out family 1)", flush=True)
+        # one eval column per family: in-family uses FRESH contracts (same
+        # templates, unseen instances); the others are template-held-out
+        for f in sorted(_FAMILIES):
+            test_recs = generate_corpus(n_eval, seed=10**6 + f, family=f,
+                                        distractors=True)
+            test_loaders[f"fam{f}"] = ArrayDataLoader(
+                mk(test_recs), batch_size=args.batch_size)
+        print(f"corpus v2: {args.contracts} train + {n_val} val (family "
+              f"{fam} + distractors), {n_eval}-contract TEST per family "
+              f"{sorted(_FAMILIES)}", flush=True)
     else:
         csv_path = os.path.join(args.out, "corpus.csv")
         write_corpus_csv(csv_path, n=args.contracts, seed=0)
@@ -99,6 +120,8 @@ def main() -> None:
         config=TrainConfig(learning_rate=args.lr, use_gan=True,
                            use_augmentation=not args.no_aug,
                            warmup_epochs=5, line_lr_max=5e-4,
+                           **({"patience": args.patience}
+                              if args.patience is not None else {}),
                            # remote-tunnel D2H makes every save minutes-long;
                            # this run only needs the (params-only) best
                            latest_every=10**9),
@@ -128,14 +151,43 @@ def main() -> None:
     analyzer = SmartContractAnalyzer(model_path=ckpt, use_gan=True,
                                      tokenizer=tok, model_config=cfg,
                                      verbose=False)
-    results = evaluate_model_performance(
-        model_path=ckpt, val_dataloader=test_loader or val_loader,
-        contract_thresholds=BASELINE_CONTRACT_THRESHOLDS,
-        line_thresholds=BASELINE_LINE_THRESHOLDS,
-        max_contracts=args.max_eval,
-        output_file=os.path.join(args.out, "evaluation_results.json"),
-        analyzer=analyzer)
-    print_evaluation_summary(results)
+    matrix = {}
+    if test_loaders:
+        results = None
+        for name, loader in test_loaders.items():
+            print(f"-- evaluating column {name} --", flush=True)
+            res = evaluate_model_performance(
+                model_path=ckpt, val_dataloader=loader,
+                contract_thresholds=BASELINE_CONTRACT_THRESHOLDS,
+                line_thresholds=BASELINE_LINE_THRESHOLDS,
+                max_contracts=args.max_eval,
+                output_file=os.path.join(args.out,
+                                         f"evaluation_{name}.json"),
+                analyzer=analyzer)
+            print_evaluation_summary(res)
+            matrix[name] = {
+                "contract_overall": res["contract_level"]["overall"],
+                "line_overall": res["line_level"]["overall"],
+                "contract_per_type": {
+                    vt: d.get("pr_auc")
+                    for vt, d in res["contract_level"]
+                    .get("per_vulnerability", {}).items()},
+                "line_per_type": {
+                    vt: d.get("pr_auc")
+                    for vt, d in res["line_level"]
+                    .get("per_vulnerability", {}).items()},
+            }
+            if results is None or name == f"fam{1 - args.train_family}":
+                results = res   # headline column: the opposite family
+    else:
+        results = evaluate_model_performance(
+            model_path=ckpt, val_dataloader=val_loader,
+            contract_thresholds=BASELINE_CONTRACT_THRESHOLDS,
+            line_thresholds=BASELINE_LINE_THRESHOLDS,
+            max_contracts=args.max_eval,
+            output_file=os.path.join(args.out, "evaluation_results.json"),
+            analyzer=analyzer)
+        print_evaluation_summary(results)
 
     # -- teacher-forced perplexity ------------------------------------------
     from sct_gan_tpu.evals.perplexity import compute_perplexity
@@ -145,6 +197,7 @@ def main() -> None:
 
     summary = {
         "contracts": args.contracts,
+        "train_family": args.train_family if args.corpus_v2 else None,
         "epochs_requested": args.epochs,
         "epochs_run": len(history["train_loss"]),
         "train_minutes": round(train_secs / 60, 2),
@@ -153,6 +206,7 @@ def main() -> None:
         "perplexity": ppl,
         "contract_overall": results["contract_level"]["overall"],
         "line_overall": results["line_level"]["overall"],
+        "matrix": matrix or None,
         "checkpoint": ckpt,
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
