@@ -160,13 +160,13 @@ class _OutProjection(nn.Module):
         bias = self.param("bias", zeros_init, (self.d_model,))
         x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
                                                   dtype=self.dtype)
-        kernel = kernel.reshape(h, dh, self.d_model)
-        if self.head_pad != dh:
-            kernel = jnp.pad(kernel,
-                             ((0, 0), (0, self.head_pad - dh), (0, 0)))
-        kernel = kernel.reshape(h * self.head_pad, self.d_model)
+        in_dh = x.shape[-1]            # head_pad, or the real dh on the
+        kernel = kernel.reshape(h, dh, self.d_model)   # narrow decode path
+        if in_dh != dh:
+            kernel = jnp.pad(kernel, ((0, 0), (0, in_dh - dh), (0, 0)))
+        kernel = kernel.reshape(h * in_dh, self.d_model)
         b, s = x.shape[0], x.shape[2]
-        merged = x.transpose(0, 2, 1, 3).reshape(b, s, h * self.head_pad)
+        merged = x.transpose(0, 2, 1, 3).reshape(b, s, h * in_dh)
         return merged @ kernel + bias
 
 
@@ -246,13 +246,16 @@ class MultiheadAttention(nn.Module):
 
     # -- decode-time primitives ---------------------------------------------
     def project_kv(self, key, value) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Split-head K/V for attention against a fixed memory."""
-        return self.k_proj(key), self.v_proj(value)
+        """Split-head K/V for attention against a fixed memory, stored at
+        the REAL head dim (pad lanes are zeros — slicing them off is exact
+        and saves a third of the per-step cross-KV HBM read at dh=96)."""
+        dh = self.head_dim
+        return (self.k_proj(key)[..., :dh], self.v_proj(value)[..., :dh])
 
     def attend_kv(self, query, k, v,
                   key_padding_mask: Optional[jnp.ndarray] = None):
         """Attention of a short query against precomputed split-head K/V."""
-        q = self.q_proj(query)
+        q = self.q_proj(query)[..., :k.shape[-1]]
         if (q.shape[2] == 1 and key_padding_mask is not None
                 and jax.default_backend() == "tpu"):
             from ..ops.decode_attention import decode_attention
@@ -288,6 +291,10 @@ class MultiheadAttention(nn.Module):
         (query,) = nn.dtypes.promote_dtype(query, dtype=self.dtype)
         qkv = (query @ w + bias).reshape(b, 1, 3, h, dp).transpose(2, 0, 3, 1, 4)
         q, k_new, v_new = qkv[0], qkv[1], qkv[2]  # (B, H, 1, head_pad)
+        # caches store the real head dim (init_cache): drop the zero pad
+        # lanes before the write so every subsequent read stays narrow
+        dh_c = k_cache.shape[-1]
+        q, k_new, v_new = q[..., :dh_c], k_new[..., :dh_c], v_new[..., :dh_c]
         k_cache = jax.lax.dynamic_update_slice_in_dim(
             k_cache, k_new.astype(k_cache.dtype), pos, axis=2)
         v_cache = jax.lax.dynamic_update_slice_in_dim(
@@ -488,8 +495,11 @@ class TransformerDecoderStack(nn.Module):
     def init_cache(self, batch_size: int, max_length: int,
                    dtype=jnp.float32) -> List:
         """Self-attention KV caches: one (k, v) pair per layer,
-        (B, H, S, head_pad) each (pad lanes are zero and inert)."""
-        dh = self.layers[0].self_attn.head_pad
+        (B, H, S, head_dim) each. Caches store the REAL head dim (96 at
+        production d=768/h=8), not the 128-lane-padded width the projection
+        weights use: decode is cache-bandwidth-bound and the pad lanes are
+        zeros — storing them would waste a third of every cache read."""
+        dh = self.layers[0].self_attn.head_dim
         shape = (batch_size, self.num_heads, max_length, dh)
         return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
                 for _ in range(self.num_layers)]
