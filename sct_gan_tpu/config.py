@@ -141,6 +141,18 @@ class TrainConfig:
     # SCT-GAN/train.py:774-866 — measured ~48x device time at corpus scale).
     # 0 = reference-parity fresh regeneration each batch.
     aug_bank_size: int = 6
+    # Validation signal for model selection. The reference selects its best
+    # checkpoint, counts early-stop patience, and steps ReduceLROnPlateau on
+    # the TOTAL validation loss (train.py:1656-1721) — which its LM term
+    # dominates. On corpora where the LM task converges quickly that stops
+    # training while the contract head (gradient-starved early by the
+    # alpha=0.05/gamma=4 focal loss) is still improving: rounds 3-5 all
+    # measured best-at-epoch-~35 checkpoints with weak contract PR-AUC while
+    # longer-trained runs score far higher. "detection" switches the ONE
+    # validation scalar (best/early-stop/plateau alike) to
+    # contract_vuln_loss + line_vuln_loss. Documented non-parity knob;
+    # "gen_loss" = reference parity.
+    model_select: str = "gen_loss"
     # Label pairing for augmented batches. The reference keeps "original
     # vulnerability data by index" (SCT-GAN/train.py:829-839): augmented
     # pair i gets batch-slot i's labels even though selected_pairs is a

@@ -651,6 +651,19 @@ class SmartContractTrainer:
         out["step_time_ms"] = dt / max(batch_count, 1) * 1e3
         return out
 
+    def _select_val(self, val_metrics: Dict[str, float]) -> float:
+        """The scalar that picks checkpoints, counts patience, and drives
+        the plateau scheduler. Reference parity: total val loss
+        (train.py:1656-1721). TrainConfig.model_select="detection" uses the
+        detection components instead (contract + line focal losses) — the
+        LM term dominates the total and converges first, silently ending
+        training while the gradient-starved contract head is still
+        improving (see config.py:model_select)."""
+        if self.cfg.model_select == "detection":
+            return (val_metrics["contract_vuln_loss"]
+                    + val_metrics["line_vuln_loss"])
+        return val_metrics["gen_loss"]
+
     def validate(self) -> Dict[str, float]:
         warmup_factor = min(1.0, (self.current_epoch + 1) / self.warmup_epochs)
         scalars = self._scalars(warmup_factor, for_validation=True)
@@ -723,19 +736,22 @@ class SmartContractTrainer:
                 train_metrics["discriminator_loss"] if self.use_gan else 0.0)
             h["syntax_loss"].append(train_metrics["syntax_loss"])
 
+            select_val = self._select_val(val_metrics)
             self._log(f"Train Loss: {train_metrics['gen_loss']:.4f}  "
                       f"Val Loss: {val_metrics['gen_loss']:.4f}  "
-                      f"({train_metrics['tokens_per_sec']:.0f} tok/s; "
+                      + (f"Select: {select_val:.5f}  "
+                         if self.cfg.model_select != "gen_loss" else "")
+                      + f"({train_metrics['tokens_per_sec']:.0f} tok/s; "
                       f"train {t_val0 - t_train0:.1f}s "
                       f"val {t_val1 - t_val0:.1f}s)")
 
             self._epoch_interventions(epoch, train_metrics, val_metrics)
 
             # -- checkpointing (train.py:1656-1721) -------------------------
-            improved = val_metrics["gen_loss"] < self.best_val_loss
+            improved = select_val < self.best_val_loss
             meta = {
                 "epoch": epoch + 1,
-                "val_loss": val_metrics["gen_loss"],
+                "val_loss": select_val,
                 "training_history": self.training_history,
                 "use_augmentation": self.use_augmentation,
                 "use_gan": self.use_gan,
@@ -755,11 +771,11 @@ class SmartContractTrainer:
             # resume state.
             best_tree = {"params": self.state.params, "step": self.state.step}
             if improved:
-                self.best_val_loss = val_metrics["gen_loss"]
+                self.best_val_loss = select_val
                 self.patience_counter = 0
                 # async: the device-side snapshot is immediate, the slow
                 # D2H + write runs on the saver thread (checkpoint.AsyncSaver)
-                best_val = float(val_metrics["gen_loss"])
+                best_val = float(select_val)
 
                 def _mark_persisted(v=best_val):
                     self._persisted_best_val = v
@@ -867,8 +883,11 @@ class SmartContractTrainer:
         self.total_line_predictions = 0.0
         self.batches_with_predictions = 0
 
-        # plateau scheduler on val gen loss (train.py:1628)
-        self.lrs, reduced = self.scheduler.step(val_metrics["gen_loss"],
+        # plateau scheduler on the model-selection signal (reference: val
+        # gen loss, train.py:1628; TrainConfig.model_select="detection"
+        # routes the same knob everywhere so LR reductions track the signal
+        # that picks checkpoints)
+        self.lrs, reduced = self.scheduler.step(self._select_val(val_metrics),
                                                 self.lrs)
         if reduced:
             self._log(f"Plateau: reduced LRs to base {self.lrs['base']:.2e}")
@@ -884,7 +903,7 @@ class SmartContractTrainer:
             self.patience_counter = 0
 
         # val-loss explosion (train.py:1647-1654)
-        if val_metrics["gen_loss"] > self.best_val_loss * 2.0:
+        if self._select_val(val_metrics) > self.best_val_loss * 2.0:
             self._log("⚠️  Validation loss explosion — cutting LR 10×")
             self.lrs = {k: v * 0.1 for k, v in self.lrs.items()}
             self.patience_counter = 0

@@ -50,6 +50,10 @@ def main() -> None:
     ap.add_argument("--patience", type=int, default=None,
                     help="early-stop patience override (default: reference "
                          "parity, 24)")
+    ap.add_argument("--model-select", default="gen_loss",
+                    choices=["gen_loss", "detection"],
+                    help="validation signal for best-checkpoint/early-stop/"
+                         "plateau (TrainConfig.model_select)")
     args = ap.parse_args()
 
     from sct_gan_tpu.utils.profiling import enable_compilation_cache
@@ -120,6 +124,7 @@ def main() -> None:
         config=TrainConfig(learning_rate=args.lr, use_gan=True,
                            use_augmentation=not args.no_aug,
                            warmup_epochs=5, line_lr_max=5e-4,
+                           model_select=args.model_select,
                            **({"patience": args.patience}
                               if args.patience is not None else {}),
                            # remote-tunnel D2H makes every save minutes-long;
