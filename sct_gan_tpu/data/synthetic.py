@@ -262,6 +262,25 @@ def _ue_v1(nm: _Names) -> Tuple[List[str], List[int]]:
              "    }"], [1])
 
 
+def _ue_v3(nm: _Names) -> Tuple[List[str], List[int]]:
+    # bare low-level call with the return value dropped (no value transfer):
+    # broadens family 0's UE coverage beyond send/call{value} so held-out
+    # raw-call forms are a generalization step, not an unseen concept
+    f = nm.fn()
+    return ([f"    function {f}(address target, bytes memory payload) "
+             "public {",
+             "        target.call(payload);",
+             "    }"], [1])
+
+
+def _arthm_v4(nm: _Names) -> Tuple[List[str], List[int]]:
+    f, a = nm.fn(), nm.amt()
+    return ([f"    function {f}(uint256 {a}) public {{",
+             f"        rate += {a};",
+             f"        deadline = deadline + rate * {a};",
+             "    }"], [1, 2])
+
+
 # -- family-1 variants: surface forms DISJOINT from the family-0 builders
 # above. Corpus v2 trains on one family and evaluates on the other, so the
 # line benchmark measures generalization to unseen templates instead of
@@ -471,6 +490,26 @@ def _ue_f1c(nm: _Names) -> Tuple[List[str], List[int]]:
              "    }"], [1])
 
 
+def _ue_f1d(nm: _Names) -> Tuple[List[str], List[int]]:
+    # unchecked .send of the full contract balance: gives family 1 a send-
+    # based UE surface (family 0's dominant form is send-with-amount), so the
+    # fam1->fam0 direction faces a template gap, not a concept gap
+    f, ad = nm.fn(), nm.addr()
+    return ([f"    function {f}(address payable {ad}) public {{",
+             f"        {ad}.send(address(this).balance);",
+             "    }"], [1])
+
+
+def _arthm_f1d(nm: _Names) -> Tuple[List[str], List[int]]:
+    # narrow-int cast arithmetic in family-1 surface form (family 0's _v2
+    # covers the concept with a different template)
+    f = nm.fn()
+    return ([f"    function {f}(uint8 n) public {{",
+             "        uint8 idx = uint8(holders.length) + n;",
+             "        state = idx * 2;",
+             "    }"], [1, 2])
+
+
 # -- family-2 variants (round 5): a third disjoint family that NO training
 # direction ever sees — the pure-generalization column of the cross-family
 # matrix (VERDICT r4 item 5).
@@ -609,25 +648,25 @@ def _ue_f2b(nm: _Names) -> Tuple[List[str], List[int]]:
 # builder -> template family (0, 1, or 2); corpus v2 keeps the families
 # disjoint between train and eval splits
 _VULN_BUILDERS: Dict[str, Sequence] = {
-    "ARTHM": (_arthm_v0, _arthm_v1, _arthm_v2, _arthm_v3),
+    "ARTHM": (_arthm_v0, _arthm_v1, _arthm_v2, _arthm_v3, _arthm_v4),
     "DOS": (_dos_v0, _dos_v1, _dos_v2),
     "LE": (_le_v0, _le_v1, _le_v2),
     "RENT": (_rent_v0, _rent_v1, _rent_v2),
     "TimeM": (_timem_v0, _timem_v1, _timem_v2),
     "TimeO": (_timeo_v0, _timeo_v1, _timeo_v2),
     "Tx-Origin": (_txorigin_v0, _txorigin_v1, _txorigin_v2),
-    "UE": (_ue_v0, _ue_v1, _ue_v2),
+    "UE": (_ue_v0, _ue_v1, _ue_v2, _ue_v3),
 }
 
 _VULN_BUILDERS_F1: Dict[str, Sequence] = {
-    "ARTHM": (_arthm_f1a, _arthm_f1b, _arthm_f1c),
+    "ARTHM": (_arthm_f1a, _arthm_f1b, _arthm_f1c, _arthm_f1d),
     "DOS": (_dos_f1a, _dos_f1b, _dos_f1c),
     "LE": (_le_f1a, _le_f1b, _le_f1c),
     "RENT": (_rent_f1a, _rent_f1b, _rent_f1c),
     "TimeM": (_timem_f1a, _timem_f1b, _timem_f1c),
     "TimeO": (_timeo_f1a, _timeo_f1b, _timeo_f1c),
     "Tx-Origin": (_txorigin_f1a, _txorigin_f1b, _txorigin_f1c),
-    "UE": (_ue_f1a, _ue_f1b, _ue_f1c),
+    "UE": (_ue_f1a, _ue_f1b, _ue_f1c, _ue_f1d),
 }
 
 _VULN_BUILDERS_F2: Dict[str, Sequence] = {
@@ -722,9 +761,21 @@ def _safe_pure(nm: _Names) -> List[str]:
             "    }"]
 
 
+def _safe_checked_call(nm: _Names) -> List[str]:
+    # low-level call with the result REQUIRE-checked — the safe twin of the
+    # raw-call UE variants
+    f = nm.fn()
+    return [f"    function {f}(address target, bytes memory payload) "
+            "public {",
+            "        require(msg.sender == owner);",
+            "        (bool ok, ) = target.call(payload);",
+            "        require(ok);",
+            "    }"]
+
+
 _SAFE_BUILDERS = [_safe_view, _safe_auth, _safe_withdraw, _safe_transfer,
                   _safe_bounded_loop, _safe_checked_math, _safe_deadline_view,
-                  _safe_event, _safe_pure]
+                  _safe_event, _safe_pure, _safe_checked_call]
 
 
 # -- near-miss DISTRACTORS (corpus v2): vulnerable-looking token sequences

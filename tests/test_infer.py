@@ -145,6 +145,32 @@ def test_detect_vulnerabilities_contract_dict(analyzer):
     assert len(res["contract_probabilities"][0]) == 8
 
 
+def test_line_fusion_max_over_valid_lines(analyzer):
+    """contract_probabilities with line_fusion (default) equal
+    max(head_prob, max over real-line slots of line probs, excluding the
+    exact-0.5 empty/pad marker); line_fusion=False returns the head alone."""
+    import numpy as np
+
+    tok = analyzer.tokenizer
+    plain = SmartContractAnalyzer(model_config=CFG, tokenizer=tok,
+                                  params=analyzer.params, batch_size=2,
+                                  verbose=False, line_fusion=False)
+    fused = analyzer.detect_vulnerabilities(SAMPLE, threshold=0.5)
+    head = plain.detect_vulnerabilities(SAMPLE, threshold=0.5)
+    n_lines = len(SAMPLE.split("\n"))
+    lp = np.asarray(head["line_probabilities"][0])[:n_lines]
+    informative = np.where(lp != 0.5, lp, 0.0)
+    want = np.maximum(np.asarray(head["contract_probabilities"][0]),
+                      informative.max(axis=0))
+    np.testing.assert_allclose(
+        np.asarray(fused["contract_probabilities"][0]), want,
+        rtol=1e-6, atol=1e-7)
+    # line outputs are untouched by fusion
+    np.testing.assert_array_equal(
+        np.asarray(fused["line_probabilities"]),
+        np.asarray(head["line_probabilities"]))
+
+
 def test_detect_safe_and_fallback(analyzer):
     safe = analyzer.detect_vulnerabilities_safe(SAMPLE)
     assert not any(v for line in safe["line_vulnerabilities"].values()
