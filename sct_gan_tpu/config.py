@@ -51,6 +51,11 @@ class ModelConfig:
     # outputs are bit-equivalent to an unpadded model with the same weights.
     # 1 = no padding.
     vocab_pad_multiple: int = 128
+    # Sort-based embedding backward (ops/embed.py): replaces the duplicate-
+    # index scatter-add the default gather VJP lowers to with a
+    # sort + cumsum-boundary-difference + sorted scatter of unique rows.
+    # Same forward; gradient equal up to f32 reassociation (tests/test_ops).
+    sorted_embed_grad: bool = False
 
     @property
     def padded_vocab_size(self) -> int:

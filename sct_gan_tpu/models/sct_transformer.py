@@ -188,7 +188,11 @@ class SmartContractTransformer(nn.Module):
     # -- embedding pipelines -------------------------------------------------
     def _embed(self, ids, embed, norm, drop, deterministic):
         d = self.config.d_model
-        x = embed(ids) * math.sqrt(d)
+        if self.config.sorted_embed_grad:
+            from ..ops.embed import embedding_lookup
+            x = embedding_lookup(embed.embedding, ids) * math.sqrt(d)
+        else:
+            x = embed(ids) * math.sqrt(d)
         x = drop(x, deterministic=deterministic)
         x = norm(x)
         x = x + self._pe[None, : x.shape[1], :]

@@ -164,3 +164,65 @@ def test_padding_mask_affects_memory(tiny_model):
                        deterministic=True)
     assert not np.allclose(np.asarray(mem_full)[0, 0],
                            np.asarray(mem_half)[0, 0], atol=1e-6)
+
+
+def test_sorted_embed_grad_equivalent():
+    """ModelConfig.sorted_embed_grad rewrites only the embedding backward
+    (ops/embed.py): forward outputs are bit-identical and full-model grads
+    match the native scatter backward to f32 reassociation tolerance."""
+    import dataclasses
+
+    cfg_a = TINY
+    cfg_b = dataclasses.replace(TINY, sorted_embed_grad=True)
+    rng = np.random.default_rng(5)
+    b, s = 2, TINY.max_length
+    batch = {
+        "input_ids": rng.integers(0, TINY.vocab_size, (b, s)).astype(np.int32),
+        "attention_mask": np.ones((b, s), np.int32),
+        "ast_input_ids": rng.integers(0, TINY.vocab_size,
+                                      (b, s)).astype(np.int32),
+        "ast_attention_mask": np.ones((b, s), np.int32),
+        "token_to_line": (np.arange(s, dtype=np.int32) // 4)[None, :]
+        .repeat(b, 0),
+    }
+
+    def build(cfg):
+        model = SmartContractTransformer(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0), input_ids=batch["input_ids"],
+            attention_mask=batch["attention_mask"],
+            ast_input_ids=batch["ast_input_ids"],
+            ast_attention_mask=batch["ast_attention_mask"],
+            target_ids=batch["input_ids"],
+            token_to_line=batch["token_to_line"])["params"]
+        return model, params
+
+    model_a, params = build(cfg_a)
+    model_b, params_b = build(cfg_b)
+    chex = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda x, y: x.shape == y.shape, params, params_b))
+    assert chex
+
+    def loss(model):
+        def f(p):
+            out = model.apply(
+                {"params": p}, input_ids=batch["input_ids"],
+                attention_mask=batch["attention_mask"],
+                ast_input_ids=batch["ast_input_ids"],
+                ast_attention_mask=batch["ast_attention_mask"],
+                target_ids=batch["input_ids"],
+                token_to_line=batch["token_to_line"], deterministic=True)
+            return (out["contract_vulnerability_logits"].sum()
+                    + out["line_vulnerability_logits"].sum()
+                    + out["logits"].astype(jnp.float32).mean())
+        return f
+
+    va, ga = jax.value_and_grad(loss(model_a))(params)
+    vb, gb = jax.value_and_grad(loss(model_b))(params)
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    flat_a = jax.tree_util.tree_leaves_with_path(ga)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(gb))
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_b[path]), rtol=2e-5,
+            atol=2e-5, err_msg=jax.tree_util.keystr(path))

@@ -382,3 +382,43 @@ def test_flash_fused_backward_single_block_interpret():
     for name, a, b in zip("qkv", got, exp):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4,
                                    err_msg=f"d{name}")
+
+
+def test_embedding_lookup_forward_and_grads_match_native():
+    """Sort-based embedding backward (ops/embed.py) == native scatter-add
+    backward, on ids with heavy duplication, to f32 reassociation
+    tolerance; forward is bit-identical."""
+    from sct_gan_tpu.ops.embed import embedding_lookup
+
+    rng = np.random.default_rng(0)
+    v, d = 97, 16
+    table = jnp.asarray(rng.normal(size=(v, d)), jnp.float32)
+    for shape in [(4, 33), (128,), (2, 3, 5)]:
+        ids = jnp.asarray(rng.integers(0, v, size=shape), jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(embedding_lookup(table, ids)),
+            np.asarray(jnp.take(table, ids, axis=0)))
+
+        cot = jnp.asarray(rng.normal(size=shape + (d,)), jnp.float32)
+        loss_new = lambda t: (embedding_lookup(t, ids) * cot).sum()
+        loss_ref = lambda t: (jnp.take(t, ids, axis=0) * cot).sum()
+        g_new = jax.grad(loss_new)(table)
+        g_ref = jax.grad(loss_ref)(table)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_embedding_lookup_grad_single_id_all_duplicates():
+    """Every slot the same id: one run covering the whole sort — the
+    boundary-difference path must produce the full sum in row `id` and
+    zero elsewhere."""
+    from sct_gan_tpu.ops.embed import embedding_lookup
+
+    v, d, n = 11, 4, 64
+    table = jnp.zeros((v, d), jnp.float32)
+    ids = jnp.full((n,), 7, jnp.int32)
+    cot = jnp.ones((n, d), jnp.float32)
+    g = jax.grad(lambda t: (embedding_lookup(t, ids) * cot).sum())(table)
+    want = np.zeros((v, d), np.float32)
+    want[7] = n
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-6)
