@@ -653,8 +653,8 @@ class SmartContractTrainer:
 
     def _select_val(self, val_metrics: Dict[str, float]) -> float:
         """The scalar that picks checkpoints, counts patience, and drives
-        the plateau scheduler. Reference parity: total val loss
-        (train.py:1656-1721). TrainConfig.model_select="detection" uses the
+        the plateau scheduler. Reference parity: val GEN loss
+        (train.py:1657-1658). TrainConfig.model_select="detection" uses the
         detection components instead (contract + line focal losses) — the
         LM term dominates the total and converges first, silently ending
         training while the gradient-starved contract head is still

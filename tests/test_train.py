@@ -80,6 +80,23 @@ def test_train_step_decreases_loss(trainer, loaders):
     assert m["gen_loss"] < m0["gen_loss"]
 
 
+def test_select_val_criterion(trainer):
+    """model_select picks the selection scalar: reference parity is the val
+    GEN loss (SCT-GAN/train.py:1657-1658); "detection" sums the contract +
+    line focal components instead (config.py:model_select)."""
+    import dataclasses
+
+    metrics = {"gen_loss": 0.7, "contract_vuln_loss": 0.01,
+               "line_vuln_loss": 0.002, "total_loss": 1.3}
+    assert trainer._select_val(metrics) == 0.7
+    old_cfg = trainer.cfg
+    try:
+        trainer.cfg = dataclasses.replace(old_cfg, model_select="detection")
+        assert trainer._select_val(metrics) == pytest.approx(0.012)
+    finally:
+        trainer.cfg = old_cfg
+
+
 def test_validate_returns_finite(trainer):
     v = trainer.validate()
     assert np.isfinite(v["gen_loss"])
