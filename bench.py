@@ -27,7 +27,7 @@ def log(msg: str) -> None:
 
 
 def build_trainer(compute_dtype: str, use_flash: bool, batch_size: int,
-                  seq: int):
+                  seq: int, sorted_embed: bool = False):
     import jax
     from sct_gan_tpu.config import ModelConfig, TrainConfig
     from sct_gan_tpu.data.tokenizer import SolidityTokenizer
@@ -37,7 +37,8 @@ def build_trainer(compute_dtype: str, use_flash: bool, batch_size: int,
 
     cfg = ModelConfig(use_gan=True, max_length=seq, max_lines=seq,
                       compute_dtype=compute_dtype,
-                      use_flash_attention=use_flash)
+                      use_flash_attention=use_flash,
+                      sorted_embed_grad=sorted_embed)
     tok = SolidityTokenizer(vocab_size=cfg.vocab_size)
     model = SmartContractTransformer(cfg)
 

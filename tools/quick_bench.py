@@ -4,6 +4,7 @@ Same timing methodology as bench.py (differential chained steps); skips the
 fp32/dense naive-port leg so a measurement round-trip fits in ~5 minutes.
 
 Usage: python tools/quick_bench.py [--no-step] [--no-decode] [--decode-batch N]
+       [--sorted-embed]
 """
 from __future__ import annotations
 
@@ -20,6 +21,9 @@ def main() -> None:
     ap.add_argument("--no-decode", action="store_true")
     ap.add_argument("--no-step", action="store_true")
     ap.add_argument("--decode-batch", type=int, default=32)
+    ap.add_argument("--sorted-embed", action="store_true",
+                    help="A/B: sort-based embedding backward "
+                         "(ModelConfig.sorted_embed_grad)")
     args = ap.parse_args()
 
     from sct_gan_tpu.utils.profiling import enable_compilation_cache
@@ -27,7 +31,8 @@ def main() -> None:
     from bench import build_trainer, make_batch, time_decode, time_step
 
     batch_size, seq = 8, 1024
-    trainer = build_trainer("bfloat16", True, batch_size, seq)
+    trainer = build_trainer("bfloat16", True, batch_size, seq,
+                            sorted_embed=args.sorted_embed)
     batch = make_batch(batch_size, seq, trainer.model.config.vocab_size)
     out = {}
     if not args.no_step:
