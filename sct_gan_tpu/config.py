@@ -56,6 +56,19 @@ class ModelConfig:
     # sort + cumsum-boundary-difference + sorted scatter of unique rows.
     # Same forward; gradient equal up to f32 reassociation (tests/test_ops).
     sorted_embed_grad: bool = False
+    # Sequence-parallel (context-parallel) encoding over a named mesh axis
+    # (SURVEY §5.7 — the reference hard-caps L=1024, model.py:32; this is
+    # the long-context scaling hook). When set (e.g. "sp"), the ENCODE path
+    # expects to run inside a `jax.shard_map` over that axis with the
+    # sequence dimension sharded: every attention all-gathers K/V (and the
+    # key-padding mask) across the axis while Q stays local — the standard
+    # all-gather context-parallel schedule, whose collectives ride the ICI
+    # ring — and the positional-encoding slice is offset by
+    # `lax.axis_index`. Use parallel.sequence.sp_encode, which builds the
+    # sp model clone and the shard_map; do NOT set this on a model called
+    # outside shard_map (axis_index would be unbound). Encode-only:
+    # decoder/generation paths ignore it.
+    seq_axis: Optional[str] = None
 
     @property
     def padded_vocab_size(self) -> int:

@@ -222,7 +222,8 @@ class MultiheadAttention(nn.Module):
                  causal: bool = False,
                  deterministic: bool = True,
                  return_weights: bool = False,
-                 use_flash: bool = True):
+                 use_flash: bool = True,
+                 seq_axis: Optional[str] = None):
         q = self.q_proj(query)                    # (B, H, S, head_pad)
         k = self.k_proj(key)
         v = self.v_proj(value)
@@ -235,7 +236,7 @@ class MultiheadAttention(nn.Module):
             q, k, v, key_padding_mask=key_padding_mask, causal=causal,
             dropout_rate=self.dropout, deterministic=deterministic,
             dropout_rng=rng, return_weights=return_weights,
-            use_flash=use_flash, sm_scale=self.sm_scale)
+            use_flash=use_flash, sm_scale=self.sm_scale, seq_axis=seq_axis)
         weights = None
         if return_weights:
             out, weights = out
@@ -349,6 +350,7 @@ class TransformerEncoderLayer(nn.Module):
     dtype: Any = None
     use_flash: bool = True
     pad_heads: bool = False
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, deterministic=True):
@@ -360,7 +362,8 @@ class TransformerEncoderLayer(nn.Module):
                                dtype=self.dtype, pad_heads=self.pad_heads,
                                name="self_attn")(
             h, h, h, key_padding_mask=key_padding_mask,
-            deterministic=deterministic, use_flash=self.use_flash)
+            deterministic=deterministic, use_flash=self.use_flash,
+            seq_axis=self.seq_axis)
         h = FastDropout(self.dropout)(h, deterministic=deterministic)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
@@ -444,6 +447,7 @@ class TransformerEncoderStack(nn.Module):
     use_flash: bool = True
     remat: bool = False
     pad_heads: bool = False
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, *, key_padding_mask=None, deterministic=True):
@@ -451,7 +455,8 @@ class TransformerEncoderStack(nn.Module):
             layer = TransformerEncoderLayer(
                 self.d_model, self.num_heads, self.dim_feedforward,
                 self.dropout, dtype=self.dtype, use_flash=self.use_flash,
-                pad_heads=self.pad_heads, name=f"layer_{i}")
+                pad_heads=self.pad_heads, seq_axis=self.seq_axis,
+                name=f"layer_{i}")
             if self.remat:
                 x = _remat_call(layer, x, key_padding_mask,
                                 deterministic=deterministic)

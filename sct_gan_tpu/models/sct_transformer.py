@@ -102,7 +102,8 @@ class SmartContractTransformer(nn.Module):
         self.encoder = TransformerEncoderStack(
             cfg.num_encoder_layers, d, cfg.nhead, cfg.dim_feedforward,
             cfg.dropout, dtype=dtype, use_flash=cfg.use_flash_attention,
-            remat=cfg.remat, pad_heads=pad_heads, name="encoder")
+            remat=cfg.remat, pad_heads=pad_heads, seq_axis=cfg.seq_axis,
+            name="encoder")
         self.decoder = TransformerDecoderStack(
             cfg.num_decoder_layers, d, cfg.nhead, cfg.dim_feedforward,
             cfg.dropout, dtype=dtype, use_flash=cfg.use_flash_attention,
@@ -195,7 +196,16 @@ class SmartContractTransformer(nn.Module):
             x = embed(ids) * math.sqrt(d)
         x = drop(x, deterministic=deterministic)
         x = norm(x)
-        x = x + self._pe[None, : x.shape[1], :]
+        if self.config.seq_axis is not None:
+            # sequence-sharded under shard_map: this shard's rows sit at
+            # global positions [idx·s_local, (idx+1)·s_local)
+            s_local = x.shape[1]
+            offset = jax.lax.axis_index(self.config.seq_axis) * s_local
+            pe = jax.lax.dynamic_slice_in_dim(self._pe, offset, s_local,
+                                              axis=0)
+        else:
+            pe = self._pe[: x.shape[1]]
+        x = x + pe[None]
         return x.astype(self._dtype)
 
     def embed_target(self, target_ids, deterministic: bool = True):
@@ -236,12 +246,14 @@ class SmartContractTransformer(nn.Module):
             ast_out = self.ast_attention(
                 memory, ast_emb, ast_emb, key_padding_mask=ast_mask,
                 deterministic=deterministic,
-                use_flash=self.config.use_flash_attention)
+                use_flash=self.config.use_flash_attention,
+                seq_axis=self.config.seq_axis)
             memory = memory + 0.1 * ast_out
             cross_out = self.cross_attention(
                 memory, ast_emb, ast_emb, key_padding_mask=ast_mask,
                 deterministic=deterministic,
-                use_flash=self.config.use_flash_attention)
+                use_flash=self.config.use_flash_attention,
+                seq_axis=self.config.seq_axis)
             fused = self.feature_fusion(
                 jnp.concatenate([memory, 0.1 * cross_out], axis=-1),
                 deterministic)

@@ -119,6 +119,7 @@ def dot_product_attention(
     return_weights: bool = False,
     use_flash: bool = True,
     sm_scale: Optional[float] = None,
+    seq_axis: Optional[str] = None,
 ):
     """Dispatch to the Pallas flash kernel when possible, else the reference.
 
@@ -126,7 +127,25 @@ def dot_product_attention(
     weights. Attention-weight dropout (which the reference applies on the
     softmax weights, dropout 0.3 across 13 modules) runs INSIDE the kernel
     with a tile-deterministic PRNG — the training path stays flash.
+
+    ``seq_axis``: name of a shard_map mesh axis the SEQUENCE dimension is
+    sharded over (context parallelism, ModelConfig.seq_axis). K/V (and the
+    key-padding mask) are all-gathered across it — one tiled all-gather per
+    attention, riding the ICI ring — while Q stays local, so each device
+    computes attention for its own S/sp query rows against the full keys.
+    Non-causal only (the encode path): the causal path would need the
+    global query offset threaded into the kernel's block mask.
     """
+    if seq_axis is not None:
+        if causal:
+            raise NotImplementedError(
+                "seq_axis context parallelism covers the non-causal encode "
+                "path; causal decoder self-attention is not sequence-sharded")
+        k = jax.lax.all_gather(k, seq_axis, axis=2, tiled=True)
+        v = jax.lax.all_gather(v, seq_axis, axis=2, tiled=True)
+        if key_padding_mask is not None:
+            key_padding_mask = jax.lax.all_gather(
+                key_padding_mask, seq_axis, axis=1, tiled=True)
     wants_dropout = dropout_rate > 0.0 and not deterministic
     on_tpu = jax.default_backend() == "tpu"
     if use_flash and on_tpu and not return_weights:

@@ -6,6 +6,7 @@ from .mesh import (
     shard_params,
     param_partition_spec,
 )
+from .sequence import make_sp_mesh, sp_detect, sp_encode
 
 __all__ = [
     "make_mesh",
@@ -14,4 +15,7 @@ __all__ = [
     "shard_batch",
     "shard_params",
     "param_partition_spec",
+    "make_sp_mesh",
+    "sp_encode",
+    "sp_detect",
 ]
