@@ -182,13 +182,13 @@ def main() -> None:
     fused_tps = tokens_per_step / t_fused
     log(f"fused: {t_fused * 1e3:.1f} ms/step = {fused_tps:,.0f} tok/s/chip")
     log("timing KV-cached decode...")
-    # decode batch 32: each loop step is weight-streaming-bound (~180 MB of
-    # decoder+LM-head weights per step), so rows are nearly free — batched
-    # serving is the honest throughput configuration (generation requests
-    # queue; the reference itself generates num_contracts sequentially,
-    # inference.py:1022-1110)
-    decode = time_decode(fused, live_state.params, 32)
-    decode["decode_batch"] = 32
+    # decode batch 64: the loop step is cache-bandwidth-bound with ~0.24 ms
+    # of fixed cost (B-scaling fit, STATUS r5), so wider batches amortize —
+    # batched serving is the honest throughput configuration (generation
+    # requests queue; the reference itself generates num_contracts
+    # sequentially, inference.py:1022-1110)
+    decode = time_decode(fused, live_state.params, 64)
+    decode["decode_batch"] = 64
     log(f"decode: {decode}")
     # free the fused trainer's params+opt before the naive fp32 build: the
     # dense-attention naive step needs the HBM headroom
