@@ -55,6 +55,10 @@ class ModelConfig:
     # index scatter-add the default gather VJP lowers to with a
     # sort + cumsum-boundary-difference + sorted scatter of unique rows.
     # Same forward; gradient equal up to f32 reassociation (tests/test_ops).
+    # Round-5 on-chip A/B at production geometry (B=8, L=1024, 50304×768):
+    # 93.31 ms/step vs 91.45 default — the sort pipeline LOSES ~1.9 ms to
+    # XLA's native colliding scatter-add, so this stays off; kept as a
+    # measured alternative for geometries with heavier id collision.
     sorted_embed_grad: bool = False
     # Sequence-parallel (context-parallel) encoding over a named mesh axis
     # (SURVEY §5.7 — the reference hard-caps L=1024, model.py:32; this is
