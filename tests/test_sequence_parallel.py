@@ -93,6 +93,7 @@ def test_sp_encode_dp_by_sp(setup):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sp_encode_grads_match(setup):
     """d(loss)/d(params) through shard_map == single-device: the K/V/mask
     all-gathers transpose to reduce-scatters over sp."""
@@ -134,6 +135,7 @@ def test_sp_encode_grads_match(setup):
     assert checked == len(flat_ref)
 
 
+@pytest.mark.slow
 def test_sp_encode_beyond_configured_max_length(setup):
     """Long-context: encode L=1024 with an L=256-configured model — the PE
     table is extended via the max_length override, parameters unchanged
